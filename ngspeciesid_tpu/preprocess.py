@@ -1,0 +1,113 @@
+"""Stage 1: score, filter and sort reads (reference
+modules/get_sorted_fastq_for_cluster.py:124-191).
+
+Pipeline contract reproduced:
+  * drop reads with ``len(seq) < 2*k`` or homopolymer-compressed length < k;
+  * drop reads whose average phred error rate e satisfies
+    ``10 * -log10(e) <= quality_threshold``;
+  * score survivors by the expected number of error-free k-mers and sort
+    descending (stable);
+  * write ``<outfolder>/sorted.fastq`` with the float64 score appended to each
+    accession as ``{acc}_{score}`` (str(float) formatting — byte-compatible);
+  * write ``<outfolder>/logfile.txt`` with min/max/median/mean error rates.
+
+Scoring is batched (ops/score.py) instead of per-read Python loops; buckets
+are length-sorted to bound padding waste.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from .config import Config
+from .io.fastx import read_fastx
+from .ops.score import batch_error_rates, batch_scores
+from .utils.seqs import hpol_compress_bytes, seq_bytes
+from .utils.phred import qual_bytes
+
+logger = logging.getLogger(__name__)
+
+_SCORE_BUCKET = 4096
+
+
+def score_and_sort(cfg: Config) -> str:
+    """Run stage 1; returns the path of the sorted fastq file."""
+    outfile = os.path.join(cfg.outfolder, "sorted.fastq")
+    logfile_path = os.path.join(cfg.outfolder, "logfile.txt")
+    # The reference truncates logfile.txt before the reuse check
+    # (get_sorted_fastq_for_cluster.py:161-164); mirror that.
+    logfile = open(logfile_path, "w")
+    if os.path.isfile(outfile) and cfg.use_old_sorted_file:
+        logger.warning(
+            "Using already existing sorted file in specified directory, "
+            "if not intended, specify different outfolder or delete the current file."
+        )
+        logfile.close()
+        return outfile
+
+    k = cfg.k
+    names: List[str] = []
+    seqs: List[str] = []
+    quals: List[str] = []
+    qual_arrays: List[np.ndarray] = []
+    for name, seq, qual in read_fastx(cfg.fastq):
+        if qual is None:
+            continue
+        if len(seq) < 2 * k:
+            continue
+        sb = seq_bytes(seq)
+        if hpol_compress_bytes(sb).size < k:
+            continue
+        names.append(name)
+        seqs.append(seq)
+        quals.append(qual)
+        qual_arrays.append(qual_bytes(qual))
+
+    n = len(names)
+    scores = np.empty(n, dtype=np.float64)
+    error_rates = np.empty(n, dtype=np.float64)
+    # Bucket by length (descending) so padding in the batched scorer is small.
+    order = np.argsort([-q.size for q in qual_arrays], kind="stable")
+    for s in range(0, n, _SCORE_BUCKET):
+        idx = order[s : s + _SCORE_BUCKET]
+        batch = [qual_arrays[i] for i in idx]
+        scores[idx] = batch_scores(batch, k)
+        error_rates[idx] = batch_error_rates(batch, capped=False)
+
+    # Quality filter: keep reads with 10 * -log10(e) > q_threshold
+    # (reference get_sorted:64,147; math.log(e, 10) == log(e)/log(10)).
+    with np.errstate(divide="ignore"):
+        q_vals = 10.0 * -(np.log(error_rates) / np.log(10.0))
+    keep = q_vals > cfg.quality_threshold
+
+    kept_idx = np.flatnonzero(keep)
+    kept_scores = scores[kept_idx]
+    sort_order = np.argsort(-kept_scores, kind="stable")
+    final_idx = kept_idx[sort_order]
+
+    with open(outfile, "w") as f:
+        for i in final_idx:
+            f.write(f"@{names[i]}_{float(scores[i])!r}\n{seqs[i]}\n+\n{quals[i]}\n")
+
+    logger.debug(
+        "%d reads passed quality critera (avg phred Q val over %s and length > 2*k) "
+        "and will be clustered.",
+        len(final_idx), cfg.quality_threshold,
+    )
+
+    kept_err = np.sort(error_rates[kept_idx])
+    if kept_err.size:
+        # Mean over ascending values, sequential sum — matches the reference's
+        # post-sort sum (get_sorted:179-183) deterministically.
+        mean_e = float(np.cumsum(kept_err)[-1] / kept_err.size)
+        logfile.write("Lowest read error rate:{0}\n".format(float(kept_err[0])))
+        logfile.write("Highest read error rate:{0}\n".format(float(kept_err[-1])))
+        logfile.write("Median read error rate:{0}\n".format(float(kept_err[kept_err.size // 2])))
+        logfile.write("Mean read error rate:{0}\n".format(mean_e))
+        logfile.write("\n")
+    logfile.close()
+    return outfile
