@@ -1,0 +1,460 @@
+"""Wave-batched greedy clustering engine.
+
+Re-designs the reference's strictly sequential read loop (reference
+cluster.py:207-353) for batched device execution while preserving its exact
+semantics:
+
+  * Reads are processed in score order.  A read either joins an existing
+    representative (mapping first, alignment fallback second) or becomes a
+    new representative whose minimizers enter the database.
+  * Because only NEW representatives mutate the database, a whole wave of W
+    consecutive reads can be scored against a frozen database snapshot in
+    one batched pass (minimizer join + mapping math vectorized; alignment
+    fallback as one device DP batch).  At commit time the wave is replayed
+    in order: a read that shares at least one minimizer with a representative
+    created earlier in the same wave gets re-scored against the live
+    database (its candidate set could differ from the speculative pass);
+    all other decisions commit as computed.  With conflict replay the result
+    is identical to sequential processing for every wave size — property-
+    tested in tests/test_cluster_engine.py.
+
+Decision semantics mirrored exactly (SURVEY.md C4/C5/C7/C8):
+  * candidate order: (nr_hits, sum(hit positions), rep accession) descending
+    (cluster.py:79);
+  * mapping: gap spans between consecutive minimizer hits count as mapped
+    iff p_err_kmer^gap >= min_prob_no_hits, where p_err_kmer comes from the
+    empirical table clamped/rounded to a 15x15 grid; accept when
+    mapped_ratio > mapped_threshold (cluster.py:67-127);
+  * candidate pruning: stop when nm_hits < min_fraction * top_hits or
+    < min_shared (cluster.py:88);
+  * alignment fallback only when mapping failed and top_hits >= min_shared,
+    over candidates tied at top_hits, with error-rate-tiered gap-open
+    penalty and rolling-k match-window ratio >= aligned_threshold
+    (cluster.py:172-205);
+  * gap-pass probabilities use the same sequential float products
+    (cumprod == reduce(mul)) so pass/fail flips bit-identically.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..ops.align import block_aligned_stats, match_vector, sg_align_batch
+from .store import ReadStore
+
+logger = logging.getLogger(__name__)
+
+
+class MinimizerDB:
+    """code -> ordered list of representative ids, plus a flat snapshot for
+    batched joins (rebuilt lazily per wave)."""
+
+    def __init__(self) -> None:
+        self.table: Dict[int, List[int]] = {}
+        self._snap_codes: Optional[np.ndarray] = None
+        self._snap_off: Optional[np.ndarray] = None
+        self._snap_posts: Optional[np.ndarray] = None
+        self._dirty = True
+
+    def __len__(self) -> int:
+        return len(self.table)
+
+    def insert(self, codes: np.ndarray, rep_id: int) -> None:
+        table = self.table
+        for c in codes.tolist():
+            lst = table.get(c)
+            if lst is None:
+                table[c] = [rep_id]
+            elif rep_id not in lst:  # set semantics (cluster.py:329-334)
+                lst.append(rep_id)
+        self._dirty = True
+
+    def snapshot(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self._dirty:
+            codes = np.fromiter(self.table.keys(), dtype=np.int64, count=len(self.table))
+            order = np.argsort(codes, kind="stable")
+            codes = codes[order]
+            lists = list(self.table.values())
+            lens = np.fromiter((len(v) for v in lists), dtype=np.int64, count=len(lists))[order]
+            off = np.zeros(codes.size + 1, dtype=np.int64)
+            np.cumsum(lens, out=off[1:])
+            posts = np.empty(off[-1], dtype=np.int64)
+            keys_sorted_idx = order
+            all_lists = [lists[i] for i in keys_sorted_idx]
+            pos = 0
+            for lst in all_lists:
+                posts[pos : pos + len(lst)] = lst
+                pos += len(lst)
+            self._snap_codes, self._snap_off, self._snap_posts = codes, off, posts
+            self._dirty = False
+        return self._snap_codes, self._snap_off, self._snap_posts
+
+
+class GapPassTable:
+    """gmax per (eidx_read, eidx_rep): the largest gap length whose
+    all-minimizers-erroneous probability still passes min_prob_no_hits.
+
+    The probability of a gap of length g is the sequential product of g
+    copies of ``p_err = 1.0 - p_emp``; cumprod reproduces the reference's
+    reduce(mul) rounding exactly, and the product is monotone decreasing, so
+    the pass test collapses to ``g <= gmax``.
+    """
+
+    def __init__(self, p_matrix: np.ndarray, min_prob_no_hits: float, max_gap: int):
+        p_err = 1.0 - p_matrix  # (15, 15)
+        max_gap = max(max_gap, 1)
+        powers = np.cumprod(
+            np.broadcast_to(p_err[:, :, None], p_err.shape + (max_gap,)), axis=2
+        )
+        self.gmax = np.count_nonzero(powers >= min_prob_no_hits, axis=2).astype(np.int64)
+        # entries where even g = max_gap passes: no larger gap occurs in data
+        self.has_entry = p_matrix > 0.0
+
+
+class ClusterState:
+    def __init__(self) -> None:
+        self.clusters: Dict[int, List[str]] = {}
+        self.alive: List[int] = []          # representative ids, creation order
+        self.db = MinimizerDB()
+        self.cluster_to_new: Dict[int, int] = {}
+
+
+def _candidate_groups(
+    store: ReadStore,
+    rows: np.ndarray,
+    snap: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    exclude_self: bool = True,
+):
+    """Batched minimizer join: hits of each wave read against the snapshot DB.
+
+    Returns flat per-hit arrays grouped by (wave_read, rep): group start
+    offsets, plus per-group read row, rep id, hit counts.
+    """
+    codes_s, off, posts = snap
+    rid_list, midx_list, pos_list, code_list = [], [], [], []
+    for wi, row in enumerate(rows):
+        c = store.min_codes[row]
+        rid_list.append(np.full(c.size, wi, dtype=np.int64))
+        midx_list.append(np.arange(c.size, dtype=np.int64))
+        pos_list.append(store.min_pos[row])
+        code_list.append(c)
+    if not rid_list:
+        return None
+    rid = np.concatenate(rid_list)
+    midx = np.concatenate(midx_list)
+    pos = np.concatenate(pos_list)
+    code = np.concatenate(code_list)
+    if codes_s.size == 0:
+        return None
+    loc = np.searchsorted(codes_s, code)
+    loc_c = np.minimum(loc, codes_s.size - 1)
+    found = codes_s[loc_c] == code
+    rid, midx, pos, loc_c = rid[found], midx[found], pos[found], loc_c[found]
+    if rid.size == 0:
+        return None
+    counts = off[loc_c + 1] - off[loc_c]
+    # expand postings
+    total = int(counts.sum())
+    if total == 0:
+        return None
+    reps = np.empty(total, dtype=np.int64)
+    starts = np.repeat(off[loc_c], counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    reps = posts[starts + within]
+    rid_e = np.repeat(rid, counts)
+    midx_e = np.repeat(midx, counts)
+    pos_e = np.repeat(pos, counts)
+    if exclude_self:
+        self_ids = store.ids[rows][rid_e]
+        keep = reps != self_ids
+        rid_e, midx_e, pos_e, reps = rid_e[keep], midx_e[keep], pos_e[keep], reps[keep]
+    if rid_e.size == 0:
+        return None
+    order = np.lexsort((midx_e, reps, rid_e))
+    rid_e, midx_e, pos_e, reps = rid_e[order], midx_e[order], pos_e[order], reps[order]
+    grp_first = np.empty(rid_e.size, dtype=bool)
+    grp_first[0] = True
+    grp_first[1:] = (rid_e[1:] != rid_e[:-1]) | (reps[1:] != reps[:-1])
+    seg_start = np.flatnonzero(grp_first)
+    seg_end = np.append(seg_start[1:], rid_e.size)
+    return {
+        "rid": rid_e, "midx": midx_e, "pos": pos_e, "reps": reps,
+        "seg_start": seg_start, "seg_end": seg_end,
+        "g_rid": rid_e[seg_start], "g_rep": reps[seg_start],
+        "g_count": seg_end - seg_start,
+    }
+
+
+def _mapping_stats(
+    store: ReadStore, rows: np.ndarray, groups, gap_table: GapPassTable, cfg: Config
+) -> Tuple[np.ndarray, np.ndarray]:
+    """mapped_ratio and rep_mapped_ratio per candidate group (vectorized)."""
+    midx, pos = groups["midx"], groups["pos"]
+    seg_start, seg_end = groups["seg_start"], groups["seg_end"]
+    g_rid, g_rep = groups["g_rid"], groups["g_rep"]
+    n_seg = seg_start.size
+
+    read_rows = rows[g_rid]
+    rep_rows = np.array([store.id_to_row[int(r)] for r in g_rep], dtype=np.int64)
+    gmax = gap_table.gmax[store.eidx[read_rows], store.eidx[rep_rows]]
+
+    is_first = np.zeros(midx.size, dtype=bool)
+    is_first[seg_start] = True
+    prev_midx = np.empty_like(midx)
+    prev_midx[1:] = midx[:-1]
+    prev_midx[0] = 0
+    prev_pos = np.empty_like(pos)
+    prev_pos[1:] = pos[:-1]
+    prev_pos[0] = 0
+    gap = np.where(is_first, midx, midx - prev_midx - 1)
+    contrib = np.where(is_first, pos, pos - prev_pos)
+    seg_id = np.cumsum(is_first) - 1
+    passes = gap <= gmax[seg_id]
+    mapped = np.bincount(seg_id, weights=np.where(passes, contrib, 0), minlength=n_seg)
+
+    # tail span: (L_comp - last_pos) if trailing gap passes
+    last_idx = seg_end - 1
+    n_min = np.array([store.min_codes[r].size for r in read_rows], dtype=np.int64)
+    tail_gap = n_min - midx[last_idx] - 1
+    tail_pass = tail_gap <= gmax
+    l_comp = np.array([store.hpol[r].size for r in read_rows], dtype=np.float64)
+    rep_len = np.array([store.hpol[r].size for r in rep_rows], dtype=np.float64)
+    mapped = mapped + np.where(tail_pass, l_comp - pos[last_idx], 0.0)
+
+    return mapped / l_comp, mapped / rep_len
+
+
+def _sorted_candidate_order(store, groups, sum_pos, n_seg):
+    """Per-wave-read candidate ordering: (count, sum_pos, acc) descending."""
+    rep_rows = np.array([store.id_to_row[int(r)] for r in groups["g_rep"]], dtype=np.int64)
+    neg_rank = -store.acc_rank[rep_rows]
+    order = np.lexsort((neg_rank, -sum_pos, -groups["g_count"], groups["g_rid"]))
+    return order
+
+
+class WaveResult:
+    __slots__ = ("decision", "nr_shared", "aln_pairs")
+
+    def __init__(self, decision: int, nr_shared: int, aln_pairs):
+        self.decision = decision      # rep id or -1
+        self.nr_shared = nr_shared
+        self.aln_pairs = aln_pairs    # ordered [(rep_id, ...)] needing alignment
+
+
+def _decide_waves(
+    store: ReadStore, rows: np.ndarray, snap, gap_table: GapPassTable, cfg: Config,
+) -> List[Tuple[int, List[int]]]:
+    """Speculative decisions for a wave of read rows against a frozen DB.
+
+    Returns per read: (mapping_decision_rep_or_-1, nr_shared_top_hits,
+    ordered list of alignment-fallback candidate rep ids)."""
+    n_wave = rows.size
+    results: List[Tuple[int, int, List[int]]] = [(-1, 0, []) for _ in range(n_wave)]
+    groups = _candidate_groups(store, rows, snap)
+    if groups is None:
+        return results
+    n_seg = groups["seg_start"].size
+    seg_ids = np.repeat(np.arange(n_seg), groups["g_count"])
+    sum_pos = np.bincount(seg_ids, weights=groups["pos"], minlength=n_seg)
+    ratio, rep_ratio = _mapping_stats(store, rows, groups, gap_table, cfg)
+    order = _sorted_candidate_order(store, groups, sum_pos, groups["seg_start"].size)
+    g_rid = groups["g_rid"][order]
+    g_rep = groups["g_rep"][order]
+    g_count = groups["g_count"][order]
+    ratio = ratio[order]
+    rep_ratio = rep_ratio[order]
+
+    read_starts = np.flatnonzero(
+        np.concatenate([[True], g_rid[1:] != g_rid[:-1]])
+    )
+    read_ends = np.append(read_starts[1:], g_rid.size)
+    for s, e in zip(read_starts, read_ends):
+        wi = int(g_rid[s])
+        top_hits = int(g_count[s])
+        nr_shared = top_hits
+        decision = -1
+        if top_hits >= cfg.min_shared:
+            for t in range(s, e):
+                nm = int(g_count[t])
+                if nm < cfg.min_fraction * top_hits or nm < cfg.min_shared:
+                    break
+                if cfg.symmetric_map_align_thresholds:
+                    ok = min(ratio[t], rep_ratio[t]) > cfg.mapped_threshold
+                else:
+                    ok = ratio[t] > cfg.mapped_threshold
+                if ok:
+                    decision = int(g_rep[t])
+                    break
+        aln_cands: List[int] = []
+        if decision < 0 and nr_shared >= cfg.min_shared:
+            for t in range(s, e):
+                if int(g_count[t]) < top_hits:
+                    break
+                aln_cands.append(int(g_rep[t]))
+        results[wi] = (decision, nr_shared, aln_cands)
+    return results
+
+
+def _gap_open_tier(error_rate_sum: float) -> int:
+    """Error-rate-tiered gap opening penalty (cluster.py:189-196)."""
+    if error_rate_sum <= 0.01:
+        return 5
+    if error_rate_sum <= 0.04:
+        return 4
+    if error_rate_sum <= 0.1:
+        return 3
+    return 2
+
+
+def _run_alignments(
+    store: ReadStore,
+    requests: List[Tuple[int, int, List[int]]],  # (wave_idx, read_row, [rep_ids])
+    cfg: Config,
+) -> Dict[int, int]:
+    """Batched alignment fallback.  Returns {wave_idx: rep_id} for passes.
+
+    All candidate pairs are aligned speculatively in one device batch; the
+    sequential first-pass-wins rule is applied afterwards per read."""
+    pairs = []
+    meta = []  # (wave_idx, order_in_read, read_row, rep_row)
+    for wi, row, rep_ids in requests:
+        for oi, rep in enumerate(rep_ids):
+            rrow = store.id_to_row[rep]
+            pairs.append((store.seq_b[row], store.seq_b[rrow]))
+            meta.append((wi, oi, row, rrow))
+    if not pairs:
+        return {}
+    gap_opens = []
+    match_ids = []
+    for (wi, oi, row, rrow) in meta:
+        ers = float(store.full_err[row]) + float(store.full_err[rrow])
+        gap_opens.append(_gap_open_tier(ers))
+        match_ids.append(math.floor((1.0 - ers) * cfg.k))
+    moves = sg_align_batch(pairs, gap_opens)
+    winners: Dict[int, int] = {}
+    # group by wave_idx preserving candidate order
+    per_read: Dict[int, List[Tuple[int, int]]] = {}
+    for pi, (wi, oi, row, rrow) in enumerate(meta):
+        per_read.setdefault(wi, []).append((oi, pi))
+    for wi, lst in per_read.items():
+        lst.sort()
+        for oi, pi in lst:
+            _, _, row, rrow = meta[pi]
+            mv = match_vector(moves[pi], store.seq_b[row], store.seq_b[rrow])
+            r1, r2 = block_aligned_stats(
+                mv, cfg.k, match_ids[pi], store.seq_b[row].size, store.seq_b[rrow].size
+            )
+            if cfg.symmetric_map_align_thresholds:
+                ok = min(r1, r2) >= cfg.aligned_threshold
+            else:
+                ok = r1 >= cfg.aligned_threshold
+            if ok:
+                winners[wi] = int(store.ids[rrow])
+                break
+    return winners
+
+
+def reads_to_clusters(
+    store: ReadStore,
+    clusters: Dict[int, List[str]],
+    rep_rows: Sequence[int],
+    gap_table: GapPassTable,
+    cfg: Config,
+    carried_db: Optional[MinimizerDB] = None,
+    skip_batch_index: Optional[int] = None,
+    new_batch_index: int = 1,
+) -> Tuple[Dict[int, List[str]], List[int], MinimizerDB]:
+    """One greedy clustering pass over ``rep_rows`` (already score-ordered).
+
+    clusters: existing cluster membership (read id -> accession list); every
+    read in the pass must have an entry (it starts as its own cluster).
+    carried_db / skip_batch_index implement the merge-round skip logic
+    (cluster.py:220-249): reads whose previous batch index equals
+    ``skip_batch_index`` are already in the carried database and are not
+    re-scored.
+
+    Returns (clusters, surviving representative ids, minimizer db).
+    """
+    state = ClusterState()
+    state.clusters = clusters
+    state.db = carried_db if carried_db is not None else MinimizerDB()
+
+    rows = np.asarray(rep_rows, dtype=np.int64)
+    process_mask = np.ones(rows.size, dtype=bool)
+    if skip_batch_index is not None:
+        process_mask = store.batch_indices[rows] != skip_batch_index
+    skipped_rows = rows[~process_mask]
+    # skipped reads are already representatives inside carried_db
+    alive: List[int] = [int(store.ids[r]) for r in skipped_rows]
+
+    wave_size = max(1, cfg.wave_size)
+    to_process = rows[process_mask]
+    n = to_process.size
+    heartbeats = cfg.print_output if cfg.print_output else 0
+
+    global_i = 0
+    wave_start = 0
+    while wave_start < n:
+        wave_rows = to_process[wave_start : wave_start + wave_size]
+        snap = state.db.snapshot()
+        spec = _decide_waves(store, wave_rows, snap, gap_table, cfg)
+        aln_requests = [
+            (wi, int(wave_rows[wi]), spec[wi][2])
+            for wi in range(len(spec))
+            if spec[wi][0] < 0 and spec[wi][2]
+        ]
+        aln_winners = _run_alignments(store, aln_requests, cfg)
+
+        new_codes: set = set()
+        for wi in range(len(wave_rows)):
+            row = int(wave_rows[wi])
+            rid = int(store.ids[row])
+            codes = store.min_codes[row]
+            if heartbeats and global_i % heartbeats == 0:
+                logger.debug("processed %d reads, %d representatives, db size %d",
+                             global_i, len(alive), len(state.db))
+            global_i += 1
+            if store.hpol[row].size < cfg.k:
+                # degenerate read: unreachable via the CLI pipeline (stage 1
+                # already filters these, get_sorted:134-135); kept as its own
+                # singleton cluster.
+                alive.append(rid)
+                continue
+            conflict = new_codes and any(
+                c in new_codes for c in codes.tolist()
+            )
+            if conflict:
+                # re-score this read against the live DB (sequential semantics)
+                snap_live = state.db.snapshot()
+                dec, nr_shared, aln_cands = _decide_waves(
+                    store, np.array([row]), snap_live, gap_table, cfg
+                )[0]
+                if dec < 0 and aln_cands:
+                    win = _run_alignments(store, [(0, row, aln_cands)], cfg)
+                    if 0 in win:
+                        dec = win[0]
+            else:
+                dec, nr_shared, aln_cands = spec[wi]
+                if dec < 0 and wi in aln_winners:
+                    dec = aln_winners[wi]
+            if dec >= 0:
+                state.cluster_to_new[rid] = dec
+            else:
+                state.db.insert(codes, rid)
+                new_codes.update(codes.tolist())
+                alive.append(rid)
+        wave_start += wave_size
+
+    # final reassignment (cluster.py:337-345)
+    for rid, new_id in state.cluster_to_new.items():
+        state.clusters[new_id].extend(state.clusters[rid])
+        del state.clusters[rid]
+
+    return state.clusters, alive, state.db

@@ -1,0 +1,123 @@
+"""Columnar read store for the clustering engine.
+
+All per-read derived quantities (homopolymer compression, compressed error
+rates, minimizers, full-read poisson error rates, accession sort ranks) are
+computed once, in vectorized batches, when the store is built — instead of
+lazily per read like the reference (cluster.py:263-292).  The values are
+bit-identical; only the evaluation schedule differs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.minimizers import alphabet_ranks, sequence_minimizers
+from ..utils.phred import PHRED_TO_P_CAPPED
+from ..utils.ptable import clamp_error_rate
+from ..utils.seqs import hpol_compress_bytes, hpol_compressed_qual_bytes, seq_bytes
+from ..utils.phred import qual_bytes
+
+
+@dataclasses.dataclass
+class ReadStore:
+    """Immutable per-pass read data, indexed by read/cluster id."""
+
+    ids: np.ndarray                 # global read/cluster ids (int64)
+    accs: List[str]                 # accession WITH score suffix
+    seqs: List[str]
+    quals: List[str]
+    scores: np.ndarray              # float64
+    batch_indices: np.ndarray       # previous batch index (merge rounds)
+    seq_b: List[np.ndarray]         # uint8
+    qual_b: List[np.ndarray]
+    hpol: List[np.ndarray]          # hpol-compressed seq bytes
+    error_rates: np.ndarray         # hpol-compressed error rate (float64)
+    eidx: np.ndarray                # clamp/round error-rate index 0..14 (int8)
+    full_err: np.ndarray            # capped poisson mean / len(seq), full read
+    min_codes: List[np.ndarray]     # minimizer codes (int64)
+    min_pos: List[np.ndarray]       # minimizer positions (int64)
+    acc_rank: np.ndarray            # rank of acc in ascending lexicographic order
+    id_to_row: dict                 # global id -> row index
+
+    def row(self, read_id: int) -> int:
+        return self.id_to_row[read_id]
+
+
+def _hpol_error_rate(seq: np.ndarray, qual: np.ndarray) -> float:
+    """Average capped error probability of the hpol-compressed quality string
+    (reference cluster.py:279-291): per-run best quality char, then the
+    count-weighted mean accumulated over ascending byte values."""
+    qc = hpol_compressed_qual_bytes(seq, qual)
+    counts = np.bincount(qc, minlength=128).astype(np.float64)
+    return float(np.cumsum(counts * PHRED_TO_P_CAPPED)[-1] / qc.size)
+
+
+def _full_error_rate(qual: np.ndarray) -> float:
+    """Capped poisson mean over the full quality string / len — the per-read
+    half of the block-align ``error_rate_sum`` (reference cluster.py:185-188)."""
+    counts = np.bincount(qual, minlength=128).astype(np.float64)
+    return float(np.cumsum(counts * PHRED_TO_P_CAPPED)[-1] / qual.size)
+
+
+def build_store(
+    read_array: Sequence[Tuple[int, int, str, str, str, float]],
+    k: int,
+    w: int,
+    rank_of: Optional[np.ndarray] = None,
+    rank_bits: Optional[int] = None,
+) -> ReadStore:
+    """Build the store from reference-shaped read tuples
+    ``(id, batch_index, acc, seq, qual, score)``."""
+    n = len(read_array)
+    ids = np.array([r[0] for r in read_array], dtype=np.int64)
+    batch_indices = np.array([r[1] for r in read_array], dtype=np.int64)
+    accs = [r[2] for r in read_array]
+    seqs = [r[3] for r in read_array]
+    quals = [r[4] for r in read_array]
+    scores = np.array([r[5] for r in read_array], dtype=np.float64)
+
+    seq_b = [seq_bytes(s) for s in seqs]
+    qual_b = [qual_bytes(q) for q in quals]
+    hpol = [hpol_compress_bytes(s) for s in seq_b]
+
+    if rank_of is None:
+        all_bytes = np.unique(np.concatenate(seq_b) if seq_b else np.zeros(0, np.uint8))
+        rank_of, rank_bits = alphabet_ranks(all_bytes)
+    if k * rank_bits > 63:
+        raise NotImplementedError(
+            f"k={k} with a {1 << rank_bits}-symbol alphabet exceeds 63-bit "
+            "minimizer packing; supported k is up to "
+            f"{63 // rank_bits} for this input."
+        )
+
+    error_rates = np.empty(n, dtype=np.float64)
+    full_err = np.empty(n, dtype=np.float64)
+    eidx = np.empty(n, dtype=np.int8)
+    min_codes: List[np.ndarray] = []
+    min_pos: List[np.ndarray] = []
+    for i in range(n):
+        error_rates[i] = _hpol_error_rate(seq_b[i], qual_b[i])
+        full_err[i] = _full_error_rate(qual_b[i])
+        eidx[i] = int(round(clamp_error_rate(error_rates[i]) * 100)) - 1
+        if hpol[i].size >= k:
+            codes, pos = sequence_minimizers(hpol[i], k, w, rank_of, rank_bits)
+        else:
+            codes = np.zeros(0, dtype=np.int64)
+            pos = np.zeros(0, dtype=np.int64)
+        min_codes.append(codes)
+        min_pos.append(pos)
+
+    order = np.array(sorted(range(n), key=lambda i: accs[i]), dtype=np.int64)
+    acc_rank = np.empty(n, dtype=np.int64)
+    acc_rank[order] = np.arange(n)
+
+    return ReadStore(
+        ids=ids, accs=accs, seqs=seqs, quals=quals, scores=scores,
+        batch_indices=batch_indices, seq_b=seq_b, qual_b=qual_b, hpol=hpol,
+        error_rates=error_rates, eidx=eidx, full_err=full_err,
+        min_codes=min_codes, min_pos=min_pos, acc_rank=acc_rank,
+        id_to_row={int(r): i for i, r in enumerate(ids)},
+    )
