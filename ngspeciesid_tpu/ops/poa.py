@@ -1,0 +1,288 @@
+"""Batched multiple-sequence consensus (spoa-class) and pileup polishing.
+
+TPU-native replacement for the reference's spoa / racon / medaka
+subprocesses (N3/N5/N6 in SURVEY.md; reference consensus.py:83-126).  Rather
+than translating spoa's irregular partial-order DAG, consensus is built the
+device-friendly way:
+
+  1. draft pass — align each read (in cluster order, like spoa's sequential
+     graph construction) against the running consensus with the batched
+     semi-global DP (ops/align.py) and accumulate an MSA column profile:
+     match/mismatch columns vote a base, deletions vote a gap, insertions
+     open new columns.  The running consensus is the per-column majority.
+     Reads of MANY clusters advance in lockstep, so every round is one
+     device DP batch (all clusters' r-th reads vs their consensuses).
+  2. polish pass(es) — re-align all reads against a fixed draft and take a
+     (quality-weighted) plurality per column including insertion slots: the
+     racon/medaka-class refinement.  Used by the polish drivers.
+
+Only the aligned core of each read votes (terminal overhangs of the
+semi-global alignment are trimmed), mirroring the local-alignment behaviour
+of spoa ``-l 0`` and racon's windowed POA.
+
+On amplicon-depth clusters one draft pass + one polish pass converges to the
+template; tests/test_poa.py checks exact template recovery at ONT-like error
+rates.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .align import DIAG, LEFT, UP, sg_align_batch
+from ..utils.phred import PHRED_TO_P_CAPPED
+
+_BASE_TO_COL = np.full(256, -1, dtype=np.int64)
+for _i, _b in enumerate(b"ACGT"):
+    _BASE_TO_COL[_b] = _i
+_COL_TO_BASE = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+GAP_COL = 4
+_N_SYM = 5  # A C G T gap
+
+# POA alignment parameters: cheap affine gaps suit noisy long reads (the
+# reference invokes spoa with a reduced gap penalty, consensus.py:87).
+POA_MATCH, POA_MISMATCH, POA_OPEN, POA_EXT = 2, -2, 2, 1
+
+
+def trim_to_aligned(moves: np.ndarray) -> Tuple[np.ndarray, int, int]:
+    """Strip terminal overhangs: returns (core_moves, cons_skip, read_skip)
+    where the skips count consensus/read positions consumed before the first
+    match/mismatch column."""
+    diag_idx = np.flatnonzero(moves == DIAG)
+    if diag_idx.size == 0:
+        return moves[:0], 0, 0
+    lo, hi = int(diag_idx[0]), int(diag_idx[-1]) + 1
+    head = moves[:lo]
+    cons_skip = int(np.count_nonzero(head == UP))
+    read_skip = int(np.count_nonzero(head == LEFT))
+    return moves[lo:hi], cons_skip, read_skip
+
+
+class _Profile:
+    """Mutable MSA column profile for one cluster."""
+
+    __slots__ = ("counts", "n_reads")
+
+    def __init__(self, first_read: np.ndarray):
+        self.counts = np.zeros((first_read.size, _N_SYM), dtype=np.float64)
+        cols = _BASE_TO_COL[first_read]
+        valid = cols >= 0
+        self.counts[np.flatnonzero(valid), cols[valid]] = 1.0
+        self.n_reads = 1
+
+    def consensus_and_map(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Current majority consensus and its profile-column indices.
+
+        A column emits its most frequent base unless the gap count strictly
+        exceeds it (base wins ties); ties among bases pick the smallest.
+        """
+        counts = self.counts
+        base_best = np.argmax(counts[:, :4], axis=1)
+        base_cnt = counts[np.arange(counts.shape[0]), base_best]
+        keep = base_cnt >= counts[:, GAP_COL]
+        cols = np.flatnonzero(keep)
+        return _COL_TO_BASE[base_best[cols]], cols
+
+    def consensus(self) -> np.ndarray:
+        return self.consensus_and_map()[0]
+
+    def add_aligned(self, read: np.ndarray, moves: np.ndarray,
+                    cons_cols: np.ndarray) -> None:
+        """Fold an alignment (consensus = s1, read = s2) into the profile.
+
+        cons_cols maps consensus positions -> profile column indices.
+        Insertions first try to match an existing suppressed column (one the
+        current consensus dropped as gap-majority) carrying the same base in
+        the spanned interval — this is what makes repeated insertions
+        accumulate support, like branches in a real PO graph.  Unmatched
+        insertions create new columns back-filled with gap counts.  All
+        suppressed columns inside the read's aligned span that the read did
+        not use receive a gap vote; terminal overhangs do not vote.
+        """
+        core, cons_skip, read_skip = trim_to_aligned(moves)
+        if core.size == 0:
+            self.n_reads += 1
+            return
+        ci, ri = cons_skip, read_skip
+        n_cols = self.counts.shape[0]
+        new_cols: List[Tuple[int, int]] = []  # (insert_before_profile_col, base)
+        add_sym = np.full(n_cols, -1, dtype=np.int64)
+        # pointer into suppressed columns between consecutive consensus cols
+        interval_ptr = int(cons_cols[ci])  # columns < this are outside span
+        lo_col = interval_ptr
+        for mv in core:
+            if mv == DIAG or mv == UP:
+                col = int(cons_cols[ci])
+                if mv == DIAG:
+                    add_sym[col] = _BASE_TO_COL[read[ri]]
+                    ri += 1
+                else:
+                    add_sym[col] = GAP_COL
+                ci += 1
+                interval_ptr = col + 1
+            else:  # LEFT: insertion before consensus position ci
+                limit = int(cons_cols[ci]) if ci < cons_cols.size else n_cols
+                base_col = _BASE_TO_COL[read[ri]]
+                matched = -1
+                p = interval_ptr
+                while p < limit:
+                    if add_sym[p] < 0 and base_col >= 0 and self.counts[p, base_col] > 0:
+                        matched = p
+                        break
+                    p += 1
+                if matched >= 0:
+                    add_sym[matched] = base_col
+                    interval_ptr = matched + 1
+                else:
+                    new_cols.append((limit, int(read[ri])))
+                ri += 1
+        hi_col = interval_ptr  # exclusive upper bound of spanned columns
+        # gap votes for spanned suppressed columns the read did not use
+        span = np.arange(lo_col, min(hi_col, n_cols))
+        unused = span[add_sym[span] < 0]
+        add_sym[unused] = GAP_COL
+        rows = np.flatnonzero(add_sym >= 0)
+        self.counts[rows, add_sym[rows]] += 1.0
+        if new_cols:
+            self._insert_columns(new_cols)
+        self.n_reads += 1
+
+    def _insert_columns(self, new_cols: List[Tuple[int, int]]) -> None:
+        old = self.counts
+        L = old.shape[0]
+        befores = np.array([c[0] for c in new_cols], dtype=np.int64)
+        ins_count = np.zeros(L + 1, dtype=np.int64)
+        np.add.at(ins_count, befores, 1)
+        cum_incl = np.cumsum(ins_count)          # inserts with before <= b
+        out = np.zeros((L + len(new_cols), _N_SYM), dtype=np.float64)
+        out[np.arange(L) + cum_incl[:L]] = old   # old col i -> i + #inserts<=i
+        gap_base = float(self.n_reads)           # earlier reads gap these columns
+        seen: Dict[int, int] = {}
+        for before, base in new_cols:            # read order = left to right
+            o = seen.get(before, 0)
+            seen[before] = o + 1
+            dest = before + (cum_incl[before] - ins_count[before]) + o
+            col = _BASE_TO_COL[base]
+            if col >= 0:
+                out[dest, col] += 1.0
+            out[dest, GAP_COL] += gap_base
+        self.counts = out
+
+
+def msa_consensus_batch(
+    clusters_reads: Sequence[Sequence[np.ndarray]],
+    max_reads: int = -1,
+) -> List[np.ndarray]:
+    """Draft consensus per cluster; reads of all clusters advance in lockstep
+    so each round is a single batched device alignment."""
+    profiles: List[Optional[_Profile]] = []
+    capped: List[List[np.ndarray]] = []
+    for reads in clusters_reads:
+        reads = list(reads if max_reads < 0 else reads[:max_reads])
+        capped.append(reads)
+        profiles.append(_Profile(reads[0]) if reads else None)
+    max_n = max((len(r) for r in capped), default=0)
+    for r in range(1, max_n):
+        todo = [ci for ci, reads in enumerate(capped) if len(reads) > r]
+        if not todo:
+            break
+        pairs = []
+        cons_maps = []
+        for ci in todo:
+            cons, cols = profiles[ci].consensus_and_map()
+            pairs.append((cons, capped[ci][r]))
+            cons_maps.append(cols)
+        moves = sg_align_batch(pairs, [POA_OPEN] * len(pairs),
+                               match=POA_MATCH, mismatch=POA_MISMATCH,
+                               gap_ext=POA_EXT)
+        for ci, mv, cols in zip(todo, moves, cons_maps):
+            profiles[ci].add_aligned(capped[ci][r], mv, cols)
+    return [p.consensus() if p is not None else np.zeros(0, np.uint8)
+            for p in profiles]
+
+
+# ---------------------------------------------------------------------------
+# pileup polish (racon/medaka-class refinement)
+# ---------------------------------------------------------------------------
+
+def polish_round(
+    center: np.ndarray,
+    reads: Sequence[np.ndarray],
+    quals: Optional[Sequence[np.ndarray]] = None,
+) -> np.ndarray:
+    """One round of pileup polishing: align reads to the fixed center, call a
+    weighted plurality per column, with majority-supported insertions.
+
+    Weights are ``1 - p_err`` per base when quality strings are given
+    (medaka-class confidence weighting), else 1 (racon-class counting).
+    Uncovered center positions keep the draft base.
+    """
+    if not reads or center.size == 0:
+        return center
+    pairs = [(center, r) for r in reads]
+    moves_all = sg_align_batch(pairs, [POA_OPEN] * len(pairs),
+                               match=POA_MATCH, mismatch=POA_MISMATCH,
+                               gap_ext=POA_EXT)
+    L = center.size
+    votes = np.zeros((L, _N_SYM), dtype=np.float64)
+    coverage = np.zeros(L + 1, dtype=np.float64)   # insertion-slot coverage
+    ins_votes: List[Dict[bytes, float]] = [dict() for _ in range(L + 1)]
+    for ri_read, moves in enumerate(moves_all):
+        read = reads[ri_read]
+        w = (1.0 - PHRED_TO_P_CAPPED[quals[ri_read]]) if quals is not None else None
+        core, ci, ri = trim_to_aligned(moves)
+        if core.size == 0:
+            continue
+        lo = ci
+        pending: List[int] = []
+        pending_w = 0.0
+        for mv in core:
+            if mv == DIAG:
+                if pending:
+                    d = ins_votes[ci]
+                    key = bytes(pending)
+                    d[key] = d.get(key, 0.0) + pending_w / len(pending)
+                    pending, pending_w = [], 0.0
+                b = _BASE_TO_COL[read[ri]]
+                if b >= 0:
+                    votes[ci, b] += w[ri] if w is not None else 1.0
+                ci += 1
+                ri += 1
+            elif mv == UP:
+                if pending:
+                    d = ins_votes[ci]
+                    key = bytes(pending)
+                    d[key] = d.get(key, 0.0) + pending_w / len(pending)
+                    pending, pending_w = [], 0.0
+                votes[ci, GAP_COL] += 1.0
+                ci += 1
+            else:
+                pending.append(int(read[ri]))
+                pending_w += float(w[ri]) if w is not None else 1.0
+                ri += 1
+        if pending:
+            d = ins_votes[ci]
+            key = bytes(pending)
+            d[key] = d.get(key, 0.0) + pending_w / len(pending)
+        coverage[lo : ci + 1] += 1.0
+    out: List[int] = []
+    for p in range(L + 1):
+        if ins_votes[p]:
+            total_ins = sum(ins_votes[p].values())
+            if total_ins > coverage[p] / 2.0:
+                best = sorted(ins_votes[p].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                out.extend(best[0])
+        if p < L:
+            v = votes[p]
+            cov = v.sum()
+            if cov == 0.0:
+                out.append(int(center[p]))      # uncovered: keep draft base
+                continue
+            base_best = int(np.argmax(v[:4]))
+            if v[GAP_COL] > v[base_best]:
+                continue                        # deletion wins
+            out.append(int(_COL_TO_BASE[base_best]))
+    return np.array(out, dtype=np.uint8)

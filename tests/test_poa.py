@@ -1,0 +1,102 @@
+"""POA consensus + pileup polish property tests on synthetic templates."""
+
+import numpy as np
+import pytest
+
+from ngspeciesid_tpu.ops.poa import msa_consensus_batch, polish_round
+from ngspeciesid_tpu.utils.seqs import seq_bytes
+
+
+def make_template(rng, n):
+    return seq_bytes("".join("ACGT"[c] for c in rng.integers(0, 4, size=n)))
+
+
+def noisy_copy(rng, t, err):
+    out = []
+    quals = []
+    for c in t:
+        r = rng.random()
+        if r < err / 3:
+            continue
+        out.append(c)
+        quals.append(int(rng.integers(33 + 10, 33 + 30)))
+        if r < 2 * err / 3:
+            out.append(int(rng.integers(0, 4)) + 65)
+            quals.append(40)
+        elif r < err:
+            out[-1] = 65 + "ACGT".index("ACGT"[rng.integers(0, 4)])
+    return np.array(out, dtype=np.uint8), np.array(quals[: len(out)], dtype=np.uint8)
+
+
+def edit_distance(a: np.ndarray, b: np.ndarray) -> int:
+    from ngspeciesid_tpu.ops.edit import _dp_rows
+    return int(_dp_rows(a, b, anchored=True)[b.size])
+
+
+class TestDraftConsensus:
+    @pytest.mark.parametrize("err,depth,tol", [(0.05, 20, 1), (0.10, 30, 2)])
+    def test_template_recovery(self, rng, err, depth, tol):
+        t = make_template(rng, 300)
+        reads = [noisy_copy(rng, t, err)[0] for _ in range(depth)]
+        cons = msa_consensus_batch([reads])[0]
+        d = edit_distance(cons, t)
+        assert d <= tol, f"draft consensus {d} edits from template"
+
+    def test_multiple_clusters_lockstep(self, rng):
+        templates = [make_template(rng, 250) for _ in range(4)]
+        clusters = [[noisy_copy(rng, t, 0.06)[0] for _ in range(15)] for t in templates]
+        consensuses = msa_consensus_batch(clusters)
+        for t, c in zip(templates, consensuses):
+            assert edit_distance(c, t) <= 2
+
+    def test_max_reads_cap(self, rng):
+        t = make_template(rng, 200)
+        reads = [noisy_copy(rng, t, 0.05)[0] for _ in range(30)]
+        full = msa_consensus_batch([reads])[0]
+        capped = msa_consensus_batch([reads], max_reads=10)[0]
+        assert edit_distance(capped, t) <= 4
+        assert edit_distance(full, t) <= 1
+
+    def test_single_read_cluster(self, rng):
+        t = make_template(rng, 100)
+        cons = msa_consensus_batch([[t]])[0]
+        assert cons.tobytes() == t.tobytes()
+
+
+class TestPolish:
+    def test_polish_fixes_draft_errors(self, rng):
+        t = make_template(rng, 300)
+        reads_quals = [noisy_copy(rng, t, 0.08) for _ in range(40)]
+        reads = [r for r, _ in reads_quals]
+        quals = [q for _, q in reads_quals]
+        # corrupt the template into a bad draft
+        draft = t.copy()
+        draft[50] = ord("A") if draft[50] != ord("A") else ord("C")
+        draft = np.delete(draft, 120)
+        draft = np.insert(draft, 200, ord("G"))
+        polished = polish_round(draft, reads, quals)
+        assert edit_distance(polished, t) <= 1
+        polished2 = polish_round(polished, reads, quals)
+        assert edit_distance(polished2, t) == 0
+
+    def test_polish_noqual(self, rng):
+        t = make_template(rng, 250)
+        reads = [noisy_copy(rng, t, 0.06)[0] for _ in range(25)]
+        draft = msa_consensus_batch([reads])[0]
+        polished = polish_round(draft, reads)
+        assert edit_distance(polished, t) <= 1
+
+    def test_polish_empty_inputs(self):
+        c = seq_bytes("ACGT")
+        assert polish_round(c, []).tobytes() == b"ACGT"
+
+    def test_full_pipeline_draft_plus_polish(self, rng):
+        # end-to-end: very noisy reads, draft + 2 polish rounds -> template
+        t = make_template(rng, 400)
+        reads_quals = [noisy_copy(rng, t, 0.12) for _ in range(50)]
+        reads = [r for r, _ in reads_quals]
+        quals = [q for _, q in reads_quals]
+        c = msa_consensus_batch([reads])[0]
+        for _ in range(2):
+            c = polish_round(c, reads, quals)
+        assert edit_distance(c, t) <= 1
