@@ -457,4 +457,8 @@ def reads_to_clusters(
         state.clusters[new_id].extend(state.clusters[rid])
         del state.clusters[rid]
 
+    # merge rounds: every read of the pass now carries this pass's batch
+    # index (cluster.py:243-247, 273-277)
+    store.batch_indices[rows] = new_batch_index
+
     return state.clusters, alive, state.db

@@ -1,0 +1,308 @@
+"""Stage 4: consensus, trimming, RC dedup and polishing.
+
+Reproduces the reference's consensus pipeline (reference NGSpeciesID:124-158,
+modules/consensus.py, modules/barcode_trimmer.py) with every compute step on
+our batched kernels instead of spoa/edlib/parasail/medaka/racon subprocesses.
+
+File contract mirrored (SURVEY.md section 5):
+  work_dir/reads_c_id_{c_id}.fq             cluster member reads
+  outfolder/consensus_reference_{c_id}.fasta draft (or re-polished) center
+  outfolder/reads_to_consensus_{c_id}.fastq  pooled polishing reads
+  outfolder/medaka_cl_id_{c_id}/consensus.fasta   (--medaka)
+  outfolder/racon_cl_id_{c_id}/consensus.fasta    (--racon)
+
+Center records are mutable lists ``[nr_reads, c_id, seq, reads_paths]`` like
+the reference's, including its quirks: RC-merge double-absorption is possible
+(consensus.py:167-178 has no inner already_removed check) and merged read
+files accumulate.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import shutil
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..io.fastx import mkdir_p, read_fastx
+from ..ops.align import sg_align_batch, identity_from_moves
+from ..ops.edit import infix_search
+from ..ops.poa import msa_consensus_batch, polish_round
+from ..utils.seqs import (
+    bytes_to_str,
+    reverse_complement,
+    reverse_complement_bytes,
+    seq_bytes,
+)
+from ..utils.phred import qual_bytes
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# draft consensus (C11)
+# ---------------------------------------------------------------------------
+
+def form_draft_consensus(
+    clusters: Dict[int, List[str]],
+    rep_scores: Dict[int, float],
+    sorted_reads_fastq_file: str,
+    work_dir: str,
+    abundance_cutoff: int,
+    cfg: Config,
+) -> List[List]:
+    """Batched-POA draft centers for clusters above the abundance cutoff
+    (reference consensus.py:249-278).  All qualifying clusters run as one
+    lockstep device batch."""
+    reads = {acc: (seq, qual) for acc, seq, qual in read_fastx(sorted_reads_fastq_file)}
+    centers: List[List] = []
+    singletons = 0
+    discarded: List[int] = []
+    batch_reads: List[List[np.ndarray]] = []
+    batch_meta: List[Tuple[int, int, str]] = []
+    for c_id, all_read_acc in sorted(
+        clusters.items(), key=lambda x: (len(x[1]), rep_scores[x[0]]), reverse=True
+    ):
+        nr_reads = len(all_read_acc)
+        if nr_reads >= abundance_cutoff:
+            reads_path = os.path.join(work_dir, f"reads_c_id_{c_id}.fq")
+            cluster_seqs: List[np.ndarray] = []
+            with open(reads_path, "w") as f:
+                for i, acc in enumerate(all_read_acc):
+                    if cfg.max_seqs_for_consensus >= 0 and i >= cfg.max_seqs_for_consensus:
+                        break
+                    seq, qual = reads[acc]
+                    f.write(f"@{acc}\n{seq}\n+\n{qual}\n")
+                    cluster_seqs.append(seq_bytes(seq))
+            batch_reads.append(cluster_seqs)
+            batch_meta.append((nr_reads, c_id, reads_path))
+        elif nr_reads == 1:
+            singletons += 1
+        elif nr_reads > 1:
+            discarded.append(nr_reads)
+    consensuses = msa_consensus_batch(batch_reads)
+    for (nr_reads, c_id, reads_path), cons in zip(batch_meta, consensuses):
+        centers.append([nr_reads, c_id, bytes_to_str(cons), reads_path])
+    logger.debug("%d singletons were discarded", singletons)
+    logger.debug(
+        "%d clusters were discarded due to not passing the abundance_cutoff: "
+        "a total of %d reads were discarded. Highest abundance among them: %d reads.",
+        len(discarded), sum(discarded), max(discarded or [0]),
+    )
+    return centers
+
+
+# ---------------------------------------------------------------------------
+# primer / universal tail trimming (C12)
+# ---------------------------------------------------------------------------
+
+def read_barcodes(primer_file: str) -> Dict[str, str]:
+    """Primer fasta -> {name_fw: seq, name_rc: revcomp} (barcode_trimmer.py:15-23)."""
+    barcodes = {}
+    for acc, seq, _ in read_fastx(primer_file):
+        barcodes[acc + "_fw"] = seq.strip()
+    for acc in list(barcodes.keys()):
+        barcodes[acc[:-3] + "_rc"] = reverse_complement(barcodes[acc].upper())
+    return barcodes
+
+
+def get_universal_tails() -> Dict[str, str]:
+    """Hardcoded universal tails (barcode_trimmer.py:25-31)."""
+    barcodes = {
+        "1_F_fw": "TTTCTGTTGGTGCTGATATTGC",
+        "2_R_rc": "ACTTGCCTGTCGCTCTATCTTC",
+    }
+    barcodes["1_F_rc"] = reverse_complement(barcodes["1_F_fw"])
+    barcodes["2_R_fw"] = reverse_complement(barcodes["2_R_rc"])
+    return barcodes
+
+
+def find_barcode_locations(center: str, barcodes: Dict[str, str], primer_max_ed: int):
+    """All primers' first optimal infix hits (barcode_trimmer.py:34-58)."""
+    hits = []
+    target = seq_bytes(center)
+    for acc, primer in barcodes.items():
+        res = infix_search(seq_bytes(primer), target, primer_max_ed)
+        if res is not None:
+            start, end, ed = res
+            hits.append((acc, start, end, ed))
+    return hits
+
+
+def remove_barcodes(centers: List[List], barcodes: Dict[str, str], cfg: Config) -> bool:
+    """Trim primer hits from the first/last trim_window bases
+    (barcode_trimmer.py:61-104).  Mutates center records in place."""
+    centers_updated = False
+    for i, (nr_reads, c_id, center, reads_path) in enumerate(centers):
+        if 2 * cfg.trim_window > len(center):
+            trim_window = len(center) // 2
+        else:
+            trim_window = cfg.trim_window
+        begin_hits = find_barcode_locations(center[:trim_window], barcodes, cfg.primer_max_ed)
+        end_hits = find_barcode_locations(center[-trim_window:], barcodes, cfg.primer_max_ed)
+        cut_start = 0
+        for _, start, stop, _ in begin_hits:
+            if stop > cut_start:
+                cut_start = stop
+        cut_end = len(center)
+        if end_hits:
+            earliest = min(start for _, start, _, _ in end_hits)
+            cut_end = len(center) - (trim_window - earliest)
+        if cut_start > 0 or cut_end < len(center):
+            centers[i][2] = center[cut_start:cut_end]
+            centers_updated = True
+    return centers_updated
+
+
+# ---------------------------------------------------------------------------
+# reverse-complement / duplicate center merge (C13)
+# ---------------------------------------------------------------------------
+
+def detect_reverse_complements(centers: List[List], rc_identity_threshold: float) -> List[List]:
+    """Merge centers that align (FW or RC) above the identity threshold
+    (reference consensus.py:148-183).  Both orientations of every remaining
+    pair are aligned in one device batch per outer center."""
+    filtered: List[List] = []
+    already_removed = set()
+    for i, (nr_reads, c_id, seq, reads_path) in enumerate(centers):
+        all_reads = list(reads_path) if isinstance(reads_path, list) else [reads_path]
+        merged_nr = nr_reads
+        if c_id in already_removed:
+            continue
+        if i == len(centers) - 1:
+            filtered.append([merged_nr, c_id, seq, all_reads])
+            continue
+        later = centers[i + 1 :]
+        s1 = seq_bytes(seq)
+        pairs = []
+        for _, _, seq2, _ in later:
+            s2 = seq_bytes(seq2)
+            pairs.append((s1, s2))
+            pairs.append((s1, reverse_complement_bytes(s2)))
+        moves = sg_align_batch(pairs, [3] * len(pairs))
+        for j, (nr2, c_id2, seq2, rp2) in enumerate(later):
+            ident_fw = identity_from_moves(moves[2 * j], s1, pairs[2 * j][1])
+            ident_rc = identity_from_moves(moves[2 * j + 1], s1, pairs[2 * j + 1][1])
+            if max(ident_fw, ident_rc) >= rc_identity_threshold:
+                merged_nr += nr2
+                already_removed.add(c_id2)
+                if isinstance(rp2, list):
+                    all_reads.extend(rp2)
+                else:
+                    all_reads.append(rp2)
+        filtered.append([merged_nr, c_id, seq, all_reads])
+    logger.debug("%d consensus formed.", len(filtered))
+    return filtered
+
+
+# ---------------------------------------------------------------------------
+# polishing drivers (C14)
+# ---------------------------------------------------------------------------
+
+def _pooled_reads(all_reads_files: Sequence[str]):
+    """Pool member reads of (possibly merged) clusters, dict-dedup by
+    accession like the reference (consensus.py:210-215)."""
+    seqs: List[np.ndarray] = []
+    quals: List[np.ndarray] = []
+    records = []
+    for path in all_reads_files:
+        reads = {acc: (seq, qual) for acc, seq, qual in read_fastx(path)}
+        for acc, (seq, qual) in reads.items():
+            records.append((acc.split()[0], seq, qual))
+            seqs.append(seq_bytes(seq))
+            quals.append(qual_bytes(qual))
+    return records, seqs, quals
+
+
+def polish_sequences(centers: List[List], cfg: Config) -> List[List]:
+    """Polish every center with the TPU pileup polisher, writing the
+    reference's file layout (consensus.py:186-246)."""
+    if cfg.medaka:
+        pattern = os.path.join(cfg.outfolder, "medaka_cl_id_*")
+    elif cfg.racon:
+        pattern = os.path.join(cfg.outfolder, "racon_cl_id_*")
+    else:
+        pattern = None
+    if pattern:
+        for folder in glob.glob(pattern):
+            shutil.rmtree(folder)
+    for f in glob.glob(os.path.join(cfg.outfolder, "consensus_reference_*")):
+        os.remove(f)
+
+    for i, (nr_reads, c_id, center, all_reads) in enumerate(centers):
+        ref_file = os.path.join(cfg.outfolder, f"consensus_reference_{c_id}.fasta")
+        with open(ref_file, "w") as f:
+            f.write(f">consensus_cl_id_{c_id}_total_supporting_reads_{nr_reads}\n{center}\n")
+        records, seqs, quals = _pooled_reads(all_reads)
+        all_reads_file = os.path.join(cfg.outfolder, f"reads_to_consensus_{c_id}.fastq")
+        with open(all_reads_file, "w") as f:
+            for acc, seq, qual in records:
+                f.write(f"@{acc}\n{seq}\n+\n{qual}\n")
+
+        if cfg.medaka:
+            outdir = os.path.join(cfg.outfolder, f"medaka_cl_id_{c_id}")
+            mkdir_p(outdir)
+            logger.debug("polishing (medaka-class) center %s with %d reads", c_id, len(records))
+            polished = seq_bytes(center)
+            for _ in range(2):
+                polished = polish_round(polished, seqs, quals)
+            centers[i][2] = bytes_to_str(polished)
+            name = f"consensus_cl_id_{c_id}_total_supporting_reads_{nr_reads}"
+            if cfg.medaka_fastq:
+                with open(os.path.join(outdir, "consensus.fastq"), "w") as f:
+                    f.write(f"@{name}\n{centers[i][2]}\n+\n{'I' * len(centers[i][2])}\n")
+            else:
+                with open(os.path.join(outdir, "consensus.fasta"), "w") as f:
+                    f.write(f">{name}\n{centers[i][2]}\n")
+        elif cfg.racon:
+            outdir = os.path.join(cfg.outfolder, f"racon_cl_id_{c_id}")
+            mkdir_p(outdir)
+            logger.debug("polishing (racon-class) center %s with %d reads", c_id, len(records))
+            polished = seq_bytes(center)
+            for it in range(cfg.racon_iter):
+                polished = polish_round(polished, seqs)
+                with open(os.path.join(outdir, f"racon_polished_it_{it}.fasta"), "w") as f:
+                    f.write(f">consensus_cl_id_{c_id}\n{bytes_to_str(polished)}\n")
+            centers[i][2] = bytes_to_str(polished)
+            with open(os.path.join(outdir, "consensus.fasta"), "w") as f:
+                f.write(f">consensus_cl_id_{c_id}\n{centers[i][2]}\n")
+    return centers
+
+
+# ---------------------------------------------------------------------------
+# full stage driver (C11-C15; reference NGSpeciesID:124-158)
+# ---------------------------------------------------------------------------
+
+def run_consensus_stage(
+    clusters: Dict[int, List[str]],
+    rep_scores: Dict[int, float],
+    sorted_reads_fastq_file: str,
+    work_dir: str,
+    abundance_cutoff: int,
+    cfg: Config,
+) -> List[List]:
+    centers = form_draft_consensus(
+        clusters, rep_scores, sorted_reads_fastq_file, work_dir, abundance_cutoff, cfg
+    )
+    barcodes = None
+    if cfg.primer_file or cfg.remove_universal_tails:
+        barcodes = (
+            get_universal_tails() if cfg.remove_universal_tails
+            else read_barcodes(cfg.primer_file)
+        )
+        remove_barcodes(centers, barcodes, cfg)
+    logger.debug("%d centers formed", len(centers))
+    centers_filtered = detect_reverse_complements(centers, cfg.rc_identity_threshold)
+    centers_polished = polish_sequences(centers_filtered, cfg)
+    if barcodes is not None:
+        # post-polish recheck (reference NGSpeciesID:148-152)
+        if remove_barcodes(centers_polished, barcodes, cfg):
+            centers_filtered = detect_reverse_complements(
+                centers_polished, cfg.rc_identity_threshold
+            )
+            centers_polished = polish_sequences(centers_filtered, cfg)
+    return centers_polished

@@ -282,6 +282,74 @@ def _sg_dp_jax(
     return scores, end_i, end_j, packed_full
 
 
+def _sg_dp_np_batch(
+    s1b: np.ndarray, s2b: np.ndarray, len1: np.ndarray, len2: np.ndarray,
+    match: int, mismatch: int, gap_open: np.ndarray, gap_ext: int,
+):
+    """Compile-free numpy mirror of :func:`_sg_dp_jax` (same recurrences,
+    same tie-breaking; row loop in Python, columns and batch vectorized).
+    Used on CPU and for small/irregular batches where XLA compilation of a
+    fresh shape would dominate."""
+    B, n = s1b.shape
+    m = s2b.shape[1]
+    NEG = np.int32(NEG_INF)
+    jj = np.arange(1, m + 1, dtype=np.int32)
+    go = gap_open[:, None].astype(np.int32)
+    col_valid_h = np.concatenate(
+        [np.ones((B, 1), bool), jj[None, :] <= len2[:, None]], axis=1)
+    H = np.where(col_valid_h, np.zeros((B, m + 1), np.int32), NEG)
+    F = np.full((B, m + 1), NEG, np.int32)
+    last_row = H.copy()
+    packed = np.zeros((B, n + 1, m), dtype=np.uint8)
+    col_vals = np.empty((B, n + 1), dtype=np.int32)
+    col_vals[:, 0] = np.take_along_axis(H, len2[:, None], axis=1)[:, 0]
+    ar = np.arange(B)
+    for i in range(1, n + 1):
+        valid_i = (i <= len1)[:, None]
+        sub = np.where(s2b == s1b[:, i - 1][:, None], match, mismatch).astype(np.int32)
+        f_open = H - go
+        f_ext = F - gap_ext
+        fopen_row = f_open >= f_ext
+        Fn = np.maximum(f_open, f_ext)
+        diag = H[:, :-1] + sub
+        h_no_e = np.maximum(diag, Fn[:, 1:])
+        prevH = np.concatenate([np.zeros((B, 1), np.int32), h_no_e[:, :-1]], axis=1)
+        g = prevH - go + jj[None, :] * gap_ext
+        T = np.maximum.accumulate(g, axis=1)
+        E = T - jj[None, :] * gap_ext
+        eopen_row = g >= T
+        moves_row = np.where(
+            E > h_no_e, np.uint8(LEFT),
+            np.where(Fn[:, 1:] > diag, np.uint8(UP), np.uint8(DIAG)),
+        )
+        packed_row = (moves_row
+                      | (eopen_row.astype(np.uint8) << 2)
+                      | (fopen_row[:, 1:].astype(np.uint8) << 3))
+        packed[:, i, :] = np.where(valid_i, packed_row, 0)
+        Hrow = np.concatenate(
+            [np.zeros((B, 1), np.int32), np.maximum(h_no_e, E)], axis=1)
+        Hrow = np.where(col_valid_h, Hrow, NEG)
+        H = np.where(valid_i, Hrow, H)
+        F = np.where(valid_i, Fn, F)
+        last_row = np.where((i == len1)[:, None], H, last_row)
+        col_vals[:, i] = H[ar, len2]
+
+    def corner_argmax(x, valid_len):
+        idx = np.arange(x.shape[1])
+        masked = np.where(idx[None] <= valid_len[:, None], x, NEG)
+        best = masked.max(axis=1)
+        pick = np.where(masked == best[:, None], idx[None], -1).max(axis=1)
+        return best, pick
+
+    row_best, row_j = corner_argmax(last_row, len2)
+    col_best, col_i = corner_argmax(col_vals, len1)
+    use_row = row_best >= col_best
+    scores = np.where(use_row, row_best, col_best)
+    end_i = np.where(use_row, len1, col_i)
+    end_j = np.where(use_row, row_j, len2)
+    return scores, end_i, end_j, packed
+
+
 def _pad_batch(seqs: List[np.ndarray], width: int) -> np.ndarray:
     out = np.zeros((len(seqs), width), dtype=np.uint8)
     for i, s in enumerate(seqs):
@@ -297,30 +365,78 @@ def _bucket_width(x: int) -> int:
     return w
 
 
+def _device_is_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+#: Minimum batch size for which the XLA path beats the numpy mirror (TPU
+#: dispatch + possible compile vs a compile-free host loop).
+_JAX_MIN_BATCH = 8
+
+
 def sg_align_batch(
     pairs: List[Tuple[np.ndarray, np.ndarray]],
     gap_opens: List[int],
     match: int = 2, mismatch: int = -2, gap_ext: int = 1,
+    backend: Optional[str] = None,
 ) -> List[np.ndarray]:
-    """Align a batch of byte-sequence pairs on device; return per-pair move
-    arrays (full alignment columns incl. terminal gaps)."""
+    """Align a batch of byte-sequence pairs; return per-pair move arrays
+    (full alignment columns incl. terminal gaps).
+
+    backend: "jax", "numpy", or None for auto (JAX on TPU for non-tiny
+    batches, numpy mirror elsewhere — identical results, tested)."""
     if not pairs:
         return []
-    n = _bucket_width(max(a.size for a, _ in pairs))
-    m = _bucket_width(max(b.size for _, b in pairs))
+    B = len(pairs)
+    if backend is None:
+        backend = "jax" if (_device_is_tpu() and B >= _JAX_MIN_BATCH) else "numpy"
+    if backend == "jax":
+        # coarse power-of-two-ish buckets: bound compiled-shape diversity
+        n = _bucket_width(max(a.size for a, _ in pairs))
+        m = _bucket_width(max(b.size for _, b in pairs))
+    else:
+        # numpy mirror has no compile cost: pad tightly
+        n = -(-max(a.size for a, _ in pairs) // 64) * 64
+        m = -(-max(b.size for _, b in pairs) // 64) * 64
+    # bound the packed-move matrix memory by chunking large batches
+    max_chunk = max(1, (256 << 20) // max(1, (n + 1) * m))
+    if B > max_chunk:
+        out: List[np.ndarray] = []
+        for s in range(0, B, max_chunk):
+            out.extend(
+                sg_align_batch(pairs[s : s + max_chunk], gap_opens[s : s + max_chunk],
+                               match, mismatch, gap_ext, backend)
+            )
+        return out
     s1b = _pad_batch([a for a, _ in pairs], n)
     s2b = _pad_batch([b for _, b in pairs], m)
     len1 = np.array([a.size for a, _ in pairs], dtype=np.int32)
     len2 = np.array([b.size for _, b in pairs], dtype=np.int32)
-    B = len(pairs)
-    scores, end_i, end_j, packed = _sg_dp_jax(
-        jnp.asarray(s1b), jnp.asarray(s2b), jnp.asarray(len1), jnp.asarray(len2),
-        jnp.full((B,), match, jnp.int32), jnp.full((B,), mismatch, jnp.int32),
-        jnp.asarray(np.asarray(gap_opens, dtype=np.int32)), n=n, m=m, gap_ext=gap_ext,
-    )
-    packed = np.asarray(packed)
-    end_i = np.asarray(end_i)
-    end_j = np.asarray(end_j)
+    opens = np.asarray(gap_opens, dtype=np.int32)
+    if backend == "jax":
+        # pad the batch to a power of two to bound compiled-shape diversity
+        Bp = 1 << (B - 1).bit_length()
+        if Bp != B:
+            s1b = np.concatenate([s1b, np.zeros((Bp - B, n), np.uint8)])
+            s2b = np.concatenate([s2b, np.zeros((Bp - B, m), np.uint8)])
+            len1 = np.concatenate([len1, np.ones(Bp - B, np.int32)])
+            len2 = np.concatenate([len2, np.ones(Bp - B, np.int32)])
+            opens = np.concatenate([opens, np.full(Bp - B, 5, np.int32)])
+        scores, end_i, end_j, packed = _sg_dp_jax(
+            jnp.asarray(s1b), jnp.asarray(s2b), jnp.asarray(len1), jnp.asarray(len2),
+            jnp.full((Bp,), match, jnp.int32), jnp.full((Bp,), mismatch, jnp.int32),
+            jnp.asarray(opens), n=n, m=m, gap_ext=gap_ext,
+        )
+        packed = np.asarray(packed)
+        end_i = np.asarray(end_i)
+        end_j = np.asarray(end_j)
+    else:
+        scores, end_i, end_j, packed = _sg_dp_np_batch(
+            s1b, s2b, len1, len2, match, mismatch, opens, gap_ext
+        )
     out = []
     for b in range(B):
         out.append(

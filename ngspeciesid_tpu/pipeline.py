@@ -1,0 +1,158 @@
+"""Main pipeline orchestrator (reference NGSpeciesID:36-158).
+
+Stages: (1) score/filter/sort reads; (2) load the empirical minimizer
+probability table; (3) wave-batched greedy clustering (single pass, or the
+merge-tree sharded schedule when nr_cores > 1); (4) cluster table output;
+(5) consensus/trim/RC-dedup/polish.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import random
+import shutil
+import tempfile
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .config import Config
+from .cluster.engine import GapPassTable, reads_to_clusters
+from .cluster.store import ReadStore, build_store
+from .consensus.stage import run_consensus_stage
+from .io.fastx import mkdir_p, read_fastx
+from .preprocess import score_and_sort
+from .utils.ptable import load_p_table, p_table_as_matrix
+
+logger = logging.getLogger(__name__)
+
+ReadArray = List[Tuple[int, int, str, str, str, float]]
+
+
+def load_read_array(sorted_path: str, cfg: Config) -> ReadArray:
+    """Sorted fastq -> reference-shaped read tuples, with the optional
+    length-window filter and subsampling (reference NGSpeciesID:54-63)."""
+    if cfg.target_length > 0 and cfg.target_deviation > 0:
+        lo = cfg.target_length - cfg.target_deviation
+        hi = cfg.target_length + cfg.target_deviation
+        read_array = [
+            (i, 0, acc, seq, qual, float(acc.split("_")[-1]))
+            for i, (acc, seq, qual) in enumerate(read_fastx(sorted_path))
+            if lo <= len(seq) <= hi
+        ]
+    else:
+        read_array = [
+            (i, 0, acc, seq, qual, float(acc.split("_")[-1]))
+            for i, (acc, seq, qual) in enumerate(read_fastx(sorted_path))
+        ]
+    if cfg.top_reads:
+        read_array = read_array[: cfg.sample_size]
+    elif 0 < cfg.sample_size < len(read_array):
+        # the reference samples with an unseeded RNG (NGSpeciesID:63); we
+        # seed for reproducibility.
+        rnd = random.Random(cfg.seed)
+        keep = sorted(rnd.sample(range(len(read_array)), cfg.sample_size))
+        read_array = [read_array[i] for i in keep]
+    return read_array
+
+
+def cluster_read_array(
+    read_array: ReadArray, cfg: Config
+) -> Tuple[Dict[int, List[str]], ReadStore, List[int]]:
+    """Stage 3: returns (clusters, store, surviving representative rows)."""
+    p_table = load_p_table(cfg.k, cfg.w)
+    p_matrix = p_table_as_matrix(p_table)
+    store = build_store(read_array, cfg.k, cfg.w)
+    max_gap = max((c.size for c in store.min_codes), default=1)
+    gap_table = GapPassTable(p_matrix, cfg.min_prob_no_hits, max_gap)
+    if cfg.nr_cores > 1:
+        from .parallel.merge import merge_tree_clustering
+        clusters, alive = merge_tree_clustering(store, read_array, gap_table, cfg)
+    else:
+        clusters = {i: [acc] for i, _, acc, _, _, _ in read_array}
+        clusters, alive, _ = reads_to_clusters(
+            store, clusters, np.arange(len(read_array)), gap_table, cfg
+        )
+    return clusters, store, alive
+
+
+def write_cluster_tables(
+    clusters: Dict[int, List[str]], store: ReadStore, cfg: Config
+) -> int:
+    """final_clusters.tsv + final_cluster_origins.tsv, sorted by
+    (cluster size, representative score) descending (NGSpeciesID:99-119)."""
+    out_path = os.path.join(cfg.outfolder, "final_clusters.tsv")
+    origins_path = os.path.join(cfg.outfolder, "final_cluster_origins.tsv")
+    nontrivial = 0
+    with open(out_path, "w") as out, open(origins_path, "w") as origins:
+        output_cl_id = 0
+        for c_id, accs in sorted(
+            clusters.items(),
+            key=lambda x: (len(x[1]), store.scores[store.row(x[0])]),
+            reverse=True,
+        ):
+            row = store.row(c_id)
+            acc_base = "_".join(store.accs[row].split("_")[:-1])
+            origins.write(
+                "{0}\t{1}\t{2}\t{3}\t{4}\t{5}\n".format(
+                    output_cl_id, acc_base, store.seqs[row], store.quals[row],
+                    float(store.scores[row]), float(store.error_rates[row]),
+                )
+            )
+            for r_acc in sorted(accs, key=lambda x: float(x.split("_")[-1]), reverse=True):
+                out.write("{0}\t{1}\n".format(output_cl_id, "_".join(r_acc.split("_")[:-1])))
+            if len(accs) > 1:
+                nontrivial += 1
+            output_cl_id += 1
+    return nontrivial
+
+
+def run(cfg: Config) -> None:
+    """Full pipeline (reference main, NGSpeciesID:36-158)."""
+    mkdir_p(cfg.outfolder)
+    sorted_path = score_and_sort(cfg)
+    read_array = load_read_array(sorted_path, cfg)
+    abundance_cutoff = int(cfg.abundance_ratio * len(read_array))
+
+    logger.info("Starting Clustering: %d reads", len(read_array))
+    clusters, store, alive = cluster_read_array(read_array, cfg)
+    nontrivial = write_cluster_tables(clusters, store, cfg)
+    logger.info("Finished Clustering: %d clusters formed", nontrivial)
+
+    if cfg.consensus:
+        logger.info("Starting Consensus creation and polishing")
+        work_dir = tempfile.mkdtemp()
+        logger.debug(
+            "Forming draft consensus with abundance_cutoff >= %d (%s%% of %d reads)",
+            abundance_cutoff, cfg.abundance_ratio * 100, len(read_array),
+        )
+        rep_scores = {int(store.ids[store.row(c)]): float(store.scores[store.row(c)])
+                      for c in clusters}
+        centers = run_consensus_stage(
+            clusters, rep_scores, sorted_path, work_dir, abundance_cutoff, cfg
+        )
+        shutil.rmtree(work_dir)
+        logger.info("Finished Consensus creation: %d created", len(centers))
+
+
+def write_fastq_subcommand(clusters_path: str, fastq: str, outfolder: str, n_min: int) -> None:
+    """``write_fastq`` subcommand (reference NGSpeciesID:161-182)."""
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    with open(clusters_path) as f:
+        for line in f:
+            items = line.strip().split()
+            clusters[items[0]].append(items[1])
+    mkdir_p(outfolder)
+    # keyed by the first whitespace token: the cluster table's whitespace
+    # split only keeps that token, and the reference's full-header keying
+    # (NGSpeciesID:172) KeyErrors on ONT headers with runid metadata.
+    reads = {acc.split()[0]: (seq, qual) for acc, seq, qual in read_fastx(fastq)}
+    for cl_id, accs in clusters.items():
+        if len(accs) >= n_min:
+            with open(os.path.join(outfolder, f"{cl_id}.fastq"), "w") as f:
+                for acc in accs:
+                    seq, qual = reads[acc]
+                    f.write(f"@{acc}\n{seq}\n+\n{qual}\n")

@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# The env var alone does not win over pre-registered TPU plugins (the axon
+# tunnel registers itself regardless); the config update does.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -100,6 +100,20 @@ class TestNumpyDP:
 
 
 class TestDeviceParity:
+    def test_backends_agree(self, rng):
+        pairs, opens = [], []
+        for _ in range(9):
+            a = rand_seq(rng, int(rng.integers(20, 120)))
+            b = mutate(rng, a, 0.2)
+            if b.size < 2:
+                b = rand_seq(rng, 10)
+            pairs.append((a, b))
+            opens.append(int(rng.choice([2, 3, 4, 5])))
+        jax_out = sg_align_batch(pairs, opens, backend="jax")
+        np_out = sg_align_batch(pairs, opens, backend="numpy")
+        for mj, mn in zip(jax_out, np_out):
+            assert mj.tolist() == mn.tolist()
+
     def test_batch_matches_numpy(self, rng):
         pairs, opens = [], []
         for _ in range(24):

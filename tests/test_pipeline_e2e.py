@@ -1,0 +1,87 @@
+"""End-to-end pipeline tests (the reference's CI smoke contract,
+.travis.yml:33-36, plus output-file assertions it never had)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ngspeciesid_tpu.cli import main as cli_main
+from ngspeciesid_tpu.io.fastx import read_fastx
+
+
+def _fasta_seq(path):
+    recs = list(read_fastx(path))
+    assert len(recs) == 1
+    return recs[0][1]
+
+
+@pytest.mark.slow
+class TestSampleH1:
+    def test_consensus_medaka_class(self, tmp_path, sample_fastq):
+        out = tmp_path / "out"
+        rc = cli_main([
+            "--ont", "--fastq", sample_fastq, "--outfolder", str(out),
+            "--consensus", "--medaka", "--t", "1",
+        ])
+        assert rc == 0
+        assert (out / "sorted.fastq").is_file()
+        assert (out / "logfile.txt").is_file()
+        assert (out / "final_clusters.tsv").is_file()
+        assert (out / "final_cluster_origins.tsv").is_file()
+        clusters = {}
+        for line in open(out / "final_clusters.tsv"):
+            cl, acc = line.split("\t")
+            clusters.setdefault(cl, []).append(acc.strip())
+        # sample_h1 is a single-barcode sample read in both orientations:
+        # two dominant clusters (FW + RC), merged later by RC detection
+        sizes = sorted((len(v) for v in clusters.values()), reverse=True)
+        assert sizes[0] > 100 and sizes[0] + sizes[1] > 200
+        # RC merge leaves ONE polished consensus with plausible COI length
+        cons_files = list(out.glob("medaka_cl_id_*/consensus.fasta"))
+        assert len(cons_files) == 1
+        seq = _fasta_seq(str(cons_files[0]))
+        assert 500 <= len(seq) <= 900
+        assert set(seq) <= set("ACGT")
+        # reads_to_consensus + consensus_reference written
+        assert list(out.glob("consensus_reference_*.fasta"))
+        assert list(out.glob("reads_to_consensus_*.fastq"))
+
+    def test_consensus_racon_class_and_write_fastq(self, tmp_path, sample_fastq):
+        out = tmp_path / "out"
+        rc = cli_main([
+            "--ont", "--fastq", sample_fastq, "--outfolder", str(out),
+            "--consensus", "--racon", "--racon_iter", "2", "--t", "1",
+        ])
+        assert rc == 0
+        cons_files = list(out.glob("racon_cl_id_*/consensus.fasta"))
+        assert len(cons_files) >= 1
+        seq = _fasta_seq(str(cons_files[0]))
+        assert 500 <= len(seq) <= 900
+
+        wf_out = tmp_path / "wf"
+        rc = cli_main([
+            "write_fastq", "--clusters", str(out / "final_clusters.tsv"),
+            "--fastq", sample_fastq, "--outfolder", str(wf_out), "--N", "10",
+        ])
+        assert rc == 0
+        files = list(wf_out.glob("*.fastq"))
+        assert len(files) >= 1
+        recs = list(read_fastx(str(files[0])))
+        assert len(recs) >= 10
+
+    def test_parallel_matches_merge_tree_outputs(self, tmp_path, sample_fastq):
+        out = tmp_path / "out_t4"
+        rc = cli_main([
+            "--ont", "--fastq", sample_fastq, "--outfolder", str(out), "--t", "4",
+        ])
+        assert rc == 0
+        # merge-tree schedule writes per-iteration dumps
+        assert (out / "1" / "pre_clusters.csv").is_file()
+        assert (out / "final_clusters.tsv").is_file()
+        clusters = {}
+        for line in open(out / "final_clusters.tsv"):
+            cl, acc = line.split("\t")
+            clusters.setdefault(cl, []).append(acc.strip())
+        sizes = sorted((len(v) for v in clusters.values()), reverse=True)
+        assert sizes[0] > 100 and sizes[0] + sizes[1] > 200
