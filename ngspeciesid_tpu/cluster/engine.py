@@ -403,53 +403,54 @@ def reads_to_clusters(
     wave_start = 0
     while wave_start < n:
         wave_rows = to_process[wave_start : wave_start + wave_size]
-        snap = state.db.snapshot()
-        spec = _decide_waves(store, wave_rows, snap, gap_table, cfg)
-        aln_requests = [
-            (wi, int(wave_rows[wi]), spec[wi][2])
-            for wi in range(len(spec))
-            if spec[wi][0] < 0 and spec[wi][2]
-        ]
-        aln_winners = _run_alignments(store, aln_requests, cfg)
+        # Sub-round commit loop: score the whole pending wave against the
+        # current DB snapshot in one batch, commit decisions in order until a
+        # read shares a minimizer with a representative created *within this
+        # sub-round* (its candidate set could differ from sequential
+        # processing), then re-score the remainder against the updated DB.
+        # Converges in ~(#new representatives whose minimizers collide with
+        # later wave reads) sub-rounds; identical to sequential processing.
+        pending = [int(r) for r in wave_rows]
+        while pending:
+            rows_arr = np.array(pending, dtype=np.int64)
+            snap = state.db.snapshot()
+            spec = _decide_waves(store, rows_arr, snap, gap_table, cfg)
+            aln_requests = [
+                (wi, pending[wi], spec[wi][2])
+                for wi in range(len(spec))
+                if spec[wi][0] < 0 and spec[wi][2]
+            ]
+            aln_winners = _run_alignments(store, aln_requests, cfg)
 
-        new_codes: set = set()
-        for wi in range(len(wave_rows)):
-            row = int(wave_rows[wi])
-            rid = int(store.ids[row])
-            codes = store.min_codes[row]
-            if heartbeats and global_i % heartbeats == 0:
-                logger.debug("processed %d reads, %d representatives, db size %d",
-                             global_i, len(alive), len(state.db))
-            global_i += 1
-            if store.hpol[row].size < cfg.k:
-                # degenerate read: unreachable via the CLI pipeline (stage 1
-                # already filters these, get_sorted:134-135); kept as its own
-                # singleton cluster.
-                alive.append(rid)
-                continue
-            conflict = new_codes and any(
-                c in new_codes for c in codes.tolist()
-            )
-            if conflict:
-                # re-score this read against the live DB (sequential semantics)
-                snap_live = state.db.snapshot()
-                dec, nr_shared, aln_cands = _decide_waves(
-                    store, np.array([row]), snap_live, gap_table, cfg
-                )[0]
-                if dec < 0 and aln_cands:
-                    win = _run_alignments(store, [(0, row, aln_cands)], cfg)
-                    if 0 in win:
-                        dec = win[0]
-            else:
+            new_codes: set = set()
+            break_at = len(pending)
+            for wi, row in enumerate(pending):
+                rid = int(store.ids[row])
+                codes = store.min_codes[row]
+                if store.hpol[row].size < cfg.k:
+                    # degenerate read: unreachable via the CLI pipeline
+                    # (stage 1 already filters these, get_sorted:134-135);
+                    # kept as its own singleton cluster.
+                    alive.append(rid)
+                    global_i += 1
+                    continue
+                if new_codes and any(c in new_codes for c in codes.tolist()):
+                    break_at = wi
+                    break
+                if heartbeats and global_i % heartbeats == 0:
+                    logger.debug("processed %d reads, %d representatives, db size %d",
+                                 global_i, len(alive), len(state.db))
+                global_i += 1
                 dec, nr_shared, aln_cands = spec[wi]
                 if dec < 0 and wi in aln_winners:
                     dec = aln_winners[wi]
-            if dec >= 0:
-                state.cluster_to_new[rid] = dec
-            else:
-                state.db.insert(codes, rid)
-                new_codes.update(codes.tolist())
-                alive.append(rid)
+                if dec >= 0:
+                    state.cluster_to_new[rid] = dec
+                else:
+                    state.db.insert(codes, rid)
+                    new_codes.update(codes.tolist())
+                    alive.append(rid)
+            pending = pending[break_at:]
         wave_start += wave_size
 
     # final reassignment (cluster.py:337-345)

@@ -372,9 +372,13 @@ def _device_is_tpu() -> bool:
         return False
 
 
-#: Minimum batch size for which the XLA path beats the numpy mirror (TPU
-#: dispatch + possible compile vs a compile-free host loop).
-_JAX_MIN_BATCH = 8
+#: Minimum batch size for which the XLA path beats the numpy mirror.  The
+#: lax.scan formulation compiles a 1k-step sequential graph per shape bucket
+#: (minutes of XLA time for milliseconds of runtime) — a poor fit for the
+#: hardware.  Auto mode therefore stays on the compile-free host mirror until
+#: the Pallas wavefront kernel (ops/align_pallas.py) replaces the scan; the
+#: JAX path remains available explicitly (backend="jax") and parity-tested.
+_JAX_MIN_BATCH = 1 << 30
 
 
 def sg_align_batch(
