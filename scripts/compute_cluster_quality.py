@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Offline evaluation CLI: V-measure/ARI of inferred clusters vs truth.
+
+Counterpart of the reference's scripts/compute_cluster_quality.py (C17).
+Truth classes come from a TSV (``acc<TAB>class``) or, when pysam is
+available, from a BAM's reference names (--classes_bam, the reference's
+--simulated mode).  Metrics are computed by ngspeciesid_tpu.eval.
+
+Usage:
+  python scripts/compute_cluster_quality.py --clusters final_clusters.tsv \
+      --classes truth.tsv [--min_class_size 5] [--outfile q.csv]
+"""
+
+import argparse
+import csv
+import sys
+
+sys.path.insert(0, ".")
+
+from ngspeciesid_tpu.eval import evaluate, read_clusters_tsv
+
+
+def read_classes_tsv(path):
+    out = {}
+    with open(path) as f:
+        for line in f:
+            items = line.strip().split("\t")
+            if len(items) >= 2:
+                out[items[0]] = hash(items[1])
+    return out
+
+
+def read_classes_bam(path):
+    import pysam  # optional dependency
+
+    out = {}
+    with pysam.AlignmentFile(path, "rb") as bam:
+        for rec in bam.fetch(until_eof=True):
+            if not rec.is_unmapped and not rec.is_secondary:
+                out[rec.query_name] = hash(rec.reference_name)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clusters", required=True)
+    group = ap.add_mutually_exclusive_group(required=True)
+    group.add_argument("--classes", help="TSV acc<TAB>class")
+    group.add_argument("--classes_bam", help="truth BAM (ref-name classes)")
+    ap.add_argument("--min_class_size", type=int, default=0)
+    ap.add_argument("--outfile", default=None)
+    args = ap.parse_args()
+
+    clusters = read_clusters_tsv(args.clusters)
+    classes = (read_classes_tsv(args.classes) if args.classes
+               else read_classes_bam(args.classes_bam))
+    result = evaluate(classes, clusters, args.min_class_size)
+    if args.outfile:
+        with open(args.outfile, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(result.keys()))
+            w.writeheader()
+            w.writerow(result)
+    for k, v in result.items():
+        print(f"{k}\t{v}")
+
+
+if __name__ == "__main__":
+    main()
