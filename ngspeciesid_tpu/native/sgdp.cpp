@@ -1,0 +1,150 @@
+// Native batched semi-global Gotoh DP + traceback.
+//
+// Cell-exact mirror of ops/align.py::_sg_dp_np_batch (same recurrences, same
+// tie-breaking, same packed bit layout) for the host execution path: the
+// runtime-side counterpart of the Pallas kernel, used where the reference
+// links parasail's C engine (SURVEY.md N1).  Integer-only arithmetic, so
+// bit-parity with the numpy/XLA/Pallas backends is structural, and verified
+// by tests/test_native.py.
+//
+// Built with scripts/build_native.sh (or lazily by ngspeciesid_tpu/native.py)
+// into _sgdp.so; loaded via ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr int32_t NEG_INF = -(1 << 30);
+constexpr uint8_t MV_DIAG = 1, MV_UP = 2, MV_LEFT = 3;
+
+struct PairResult {
+    int32_t score;
+    int32_t end_i;
+    int32_t end_j;
+};
+
+// One pair's DP; packed moves written as (n+1) x m bytes (column j at j-1).
+void dp_single(const uint8_t* s1, const uint8_t* s2,
+               int len1, int len2, int gap_open,
+               int match, int mismatch, int gap_ext,
+               uint8_t* packed, int packed_stride,
+               PairResult* res) {
+    const int m = len2;
+    std::vector<int32_t> H(m + 1), Hn(m + 1), F(m + 1, NEG_INF);
+    for (int j = 0; j <= m; ++j) H[j] = 0;  // free leading gaps
+
+    int32_t col_best = NEG_INF, col_best_i = 0;   // last column j == len2
+    // H[i][len2] for i = 0 is 0:
+    col_best = H[m];
+    col_best_i = 0;
+
+    for (int i = 1; i <= len1; ++i) {
+        uint8_t c1 = s1[i - 1];
+        Hn[0] = 0;
+        int32_t e = NEG_INF;
+        uint8_t* prow = packed + (size_t)i * packed_stride;
+        for (int j = 1; j <= m; ++j) {
+            int32_t f_open = H[j] - gap_open;
+            int32_t f_ext = F[j] - gap_ext;
+            bool fopen = f_open >= f_ext;
+            int32_t f = fopen ? f_open : f_ext;
+            F[j] = f;
+            int32_t e_open = Hn[j - 1] - gap_open;
+            int32_t e_ext = e - gap_ext;
+            bool eopen = e_open >= e_ext;
+            e = eopen ? e_open : e_ext;
+            int32_t sub = (s2[j - 1] == c1) ? match : mismatch;
+            int32_t diag = H[j - 1] + sub;
+            int32_t h = diag;
+            uint8_t mv = MV_DIAG;
+            if (f > h) { h = f; mv = MV_UP; }
+            if (e > h) { h = e; mv = MV_LEFT; }
+            Hn[j] = h;
+            prow[j - 1] = (uint8_t)(mv | (eopen ? 4 : 0) | (fopen ? 8 : 0));
+        }
+        std::swap(H, Hn);
+        if (H[m] >= col_best) { col_best = H[m]; col_best_i = i; }
+    }
+    // last row: corner-most max (largest j wins ties)
+    int32_t row_best = NEG_INF;
+    int32_t row_best_j = 0;
+    for (int j = 0; j <= m; ++j)
+        if (H[j] >= row_best) { row_best = H[j]; row_best_j = j; }
+    if (row_best >= col_best) {
+        res->score = row_best; res->end_i = len1; res->end_j = row_best_j;
+    } else {
+        res->score = col_best; res->end_i = col_best_i; res->end_j = m;
+    }
+}
+
+// Traceback into moves_out (caller-allocated n+m bytes); returns length.
+int traceback(const uint8_t* packed, int packed_stride,
+              int n, int m, int end_i, int end_j, uint8_t* moves_out) {
+    int pos = 0;
+    // emit reversed; caller's buffer is filled back-to-front then reversed
+    std::vector<uint8_t> ops;
+    ops.reserve(n + m);
+    for (int k = 0; k < n - end_i; ++k) ops.push_back(MV_UP);
+    for (int k = 0; k < m - end_j; ++k) ops.push_back(MV_LEFT);
+    int i = end_i, j = end_j, state = 0;
+    while (i > 0 && j > 0) {
+        uint8_t cell = packed[(size_t)i * packed_stride + (j - 1)];
+        if (state == 0) {
+            uint8_t mv = cell & 3;
+            if (mv == MV_DIAG) { ops.push_back(MV_DIAG); --i; --j; }
+            else if (mv == MV_LEFT) state = 1;
+            else state = 2;
+        } else if (state == 1) {
+            ops.push_back(MV_LEFT);
+            if (cell & 4) state = 0;
+            --j;
+        } else {
+            ops.push_back(MV_UP);
+            if (cell & 8) state = 0;
+            --i;
+        }
+    }
+    while (i-- > 0) ops.push_back(MV_UP);
+    while (j-- > 0) ops.push_back(MV_LEFT);
+    pos = (int)ops.size();
+    for (int k = 0; k < pos; ++k) moves_out[k] = ops[pos - 1 - k];
+    return pos;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched DP + traceback.
+//   s1b: B x n_stride bytes, s2b: B x m_stride bytes (padded)
+//   moves_out: B x (n_stride + m_stride) bytes; moves_len: B
+void sg_align_batch_native(
+    const uint8_t* s1b, const uint8_t* s2b,
+    const int32_t* len1, const int32_t* len2, const int32_t* gap_opens,
+    int B, int n_stride, int m_stride,
+    int match, int mismatch, int gap_ext,
+    uint8_t* moves_out, int32_t* moves_len, int32_t* scores) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int b = 0; b < B; ++b) {
+        int n = len1[b], m = len2[b];
+        std::vector<uint8_t> packed((size_t)(n + 1) * m);
+        PairResult res;
+        dp_single(s1b + (size_t)b * n_stride, s2b + (size_t)b * m_stride,
+                  n, m, gap_opens[b], match, mismatch, gap_ext,
+                  packed.data(), m, &res);
+        moves_len[b] = traceback(packed.data(), m, n, m, res.end_i, res.end_j,
+                                 moves_out + (size_t)b * (n_stride + m_stride));
+        scores[b] = res.score;
+    }
+}
+
+}  // extern "C"

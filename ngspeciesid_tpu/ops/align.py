@@ -396,7 +396,14 @@ def sg_align_batch(
         return []
     B = len(pairs)
     if backend is None:
-        backend = "jax" if (_device_is_tpu() and B >= _JAX_MIN_BATCH) else "numpy"
+        if _device_is_tpu() and B >= _JAX_MIN_BATCH:
+            backend = "jax"
+        else:
+            from .. import native
+            backend = "native" if native.available() else "numpy"
+    if backend == "native":
+        from .. import native
+        return native.align_batch_native(pairs, gap_opens, match, mismatch, gap_ext)
     if backend == "jax":
         # coarse power-of-two-ish buckets: bound compiled-shape diversity
         n = _bucket_width(max(a.size for a, _ in pairs))
