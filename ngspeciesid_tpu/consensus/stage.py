@@ -84,7 +84,12 @@ def form_draft_consensus(
             singletons += 1
         elif nr_reads > 1:
             discarded.append(nr_reads)
-    consensuses = msa_consensus_batch(batch_reads)
+    # When a polish pass follows (it re-votes every column with ALL reads),
+    # the draft profile converges after a few tens of reads — cap the
+    # sequential profile rounds and let the pileup do the rest.  Without a
+    # polisher the draft is the final sequence, so use everything.
+    draft_cap = 30 if (cfg.medaka or cfg.racon) else -1
+    consensuses = msa_consensus_batch(batch_reads, max_reads=draft_cap)
     for (nr_reads, c_id, reads_path), cons in zip(batch_meta, consensuses):
         centers.append([nr_reads, c_id, bytes_to_str(cons), reads_path])
     logger.debug("%d singletons were discarded", singletons)
