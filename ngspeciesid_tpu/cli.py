@@ -86,6 +86,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--outfolder", type=str, default=None, help="Output folder")
     parser.add_argument("--wave_size", type=int, default=256,
                         help="Reads scored per device wave (TPU batching knob)")
+    parser.add_argument("--align_band", type=int, default=150,
+                        help="Alignment DP band half-width (0 = full DP, reference-exact)")
     parser.add_argument("--seed", type=int, default=0,
                         help="RNG seed for --sample_size subsampling")
     parser.set_defaults(which="main")
@@ -137,6 +139,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
         trim_window=args.trim_window,
         wave_size=args.wave_size,
         seed=args.seed,
+        align_band=args.align_band,
     )
     cfg.apply_preset(ont=args.ont, isoseq=args.isoseq)
     return cfg

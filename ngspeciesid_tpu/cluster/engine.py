@@ -337,7 +337,7 @@ def _run_alignments(
         ers = float(store.full_err[row]) + float(store.full_err[rrow])
         gap_opens.append(_gap_open_tier(ers))
         match_ids.append(math.floor((1.0 - ers) * cfg.k))
-    moves = sg_align_batch(pairs, gap_opens)
+    moves = sg_align_batch(pairs, gap_opens, band=cfg.align_band)
     winners: Dict[int, int] = {}
     # group by wave_idx preserving candidate order
     per_read: Dict[int, List[Tuple[int, int]]] = {}

@@ -61,6 +61,7 @@ class Config:
     # TPU execution knobs (no reference analog)
     wave_size: int = 256              # reads scored per device wave in clustering
     seed: int = 0                     # RNG seed for subsampling (reference is unseeded)
+    align_band: int = 150             # DP band half-width (0 = full/reference-exact DP)
 
     def apply_preset(self, ont: bool = False, isoseq: bool = False) -> None:
         """--ont / --isoseq k,w presets (reference NGSpeciesID:261-269)."""

@@ -167,7 +167,8 @@ def remove_barcodes(centers: List[List], barcodes: Dict[str, str], cfg: Config) 
 # reverse-complement / duplicate center merge (C13)
 # ---------------------------------------------------------------------------
 
-def detect_reverse_complements(centers: List[List], rc_identity_threshold: float) -> List[List]:
+def detect_reverse_complements(centers: List[List], rc_identity_threshold: float,
+                               band: int = 150) -> List[List]:
     """Merge centers that align (FW or RC) above the identity threshold
     (reference consensus.py:148-183).  Both orientations of every remaining
     pair are aligned in one device batch per outer center."""
@@ -188,7 +189,7 @@ def detect_reverse_complements(centers: List[List], rc_identity_threshold: float
             s2 = seq_bytes(seq2)
             pairs.append((s1, s2))
             pairs.append((s1, reverse_complement_bytes(s2)))
-        moves = sg_align_batch(pairs, [3] * len(pairs))
+        moves = sg_align_batch(pairs, [3] * len(pairs), band=band)
         for j, (nr2, c_id2, seq2, rp2) in enumerate(later):
             ident_fw = identity_from_moves(moves[2 * j], s1, pairs[2 * j][1])
             ident_rc = identity_from_moves(moves[2 * j + 1], s1, pairs[2 * j + 1][1])
@@ -301,13 +302,14 @@ def run_consensus_stage(
         )
         remove_barcodes(centers, barcodes, cfg)
     logger.debug("%d centers formed", len(centers))
-    centers_filtered = detect_reverse_complements(centers, cfg.rc_identity_threshold)
+    centers_filtered = detect_reverse_complements(
+        centers, cfg.rc_identity_threshold, band=cfg.align_band)
     centers_polished = polish_sequences(centers_filtered, cfg)
     if barcodes is not None:
         # post-polish recheck (reference NGSpeciesID:148-152)
         if remove_barcodes(centers_polished, barcodes, cfg):
             centers_filtered = detect_reverse_complements(
-                centers_polished, cfg.rc_identity_threshold
+                centers_polished, cfg.rc_identity_threshold, band=cfg.align_band
             )
             centers_polished = polish_sequences(centers_filtered, cfg)
     return centers_polished

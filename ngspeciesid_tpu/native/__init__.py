@@ -60,7 +60,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
@@ -77,6 +77,7 @@ def align_batch_native(
     pairs: List[Tuple[np.ndarray, np.ndarray]],
     gap_opens: List[int],
     match: int = 2, mismatch: int = -2, gap_ext: int = 1,
+    band: int = 0,
 ) -> List[np.ndarray]:
     lib = get_lib()
     assert lib is not None, "native DP engine unavailable"
@@ -104,7 +105,7 @@ def align_batch_native(
         p(s1b, ctypes.c_uint8), p(s2b, ctypes.c_uint8),
         p(len1, ctypes.c_int32), p(len2, ctypes.c_int32),
         p(opens, ctypes.c_int32),
-        B, n_stride, m_stride, match, mismatch, gap_ext,
+        B, n_stride, m_stride, match, mismatch, gap_ext, band,
         p(moves_out, ctypes.c_uint8), p(moves_len, ctypes.c_int32),
         p(scores, ctypes.c_int32),
     )

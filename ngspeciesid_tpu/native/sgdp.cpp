@@ -31,26 +31,38 @@ struct PairResult {
 };
 
 // One pair's DP; packed moves written as (n+1) x m bytes (column j at j-1).
+// band_hw > 0 computes only columns within +-band_hw of the scaled main
+// diagonal c_i = i*m/n (plus the |m-n| skew) — exact whenever the optimal
+// path stays inside the band, which holds for same-template amplicon pairs
+// at any realistic indel rate; band_hw <= 0 is the full (reference-exact) DP.
 void dp_single(const uint8_t* s1, const uint8_t* s2,
                int len1, int len2, int gap_open,
                int match, int mismatch, int gap_ext,
+               int band_hw,
                uint8_t* packed, int packed_stride,
                PairResult* res) {
-    const int m = len2;
-    std::vector<int32_t> H(m + 1), Hn(m + 1), F(m + 1, NEG_INF);
+    const int m = len2, n = len1;
+    std::vector<int32_t> H(m + 1), Hn(m + 1, NEG_INF), F(m + 1, NEG_INF);
     for (int j = 0; j <= m; ++j) H[j] = 0;  // free leading gaps
 
-    int32_t col_best = NEG_INF, col_best_i = 0;   // last column j == len2
-    // H[i][len2] for i = 0 is 0:
-    col_best = H[m];
-    col_best_i = 0;
+    int32_t col_best = H[m], col_best_i = 0;   // last column j == len2
 
-    for (int i = 1; i <= len1; ++i) {
+    const bool banded = band_hw > 0 && n > 0;
+    for (int i = 1; i <= n; ++i) {
         uint8_t c1 = s1[i - 1];
+        int j_lo = 1, j_hi = m;
+        if (banded) {
+            long ci = (long)i * m / n;
+            j_lo = (int)std::max(1L, ci - band_hw);
+            j_hi = (int)std::min((long)m, ci + band_hw);
+            // the double-buffered row may hold values from two rows ago for
+            // cells outside this window; they must read as unreachable
+            std::fill(Hn.begin() + 1, Hn.end(), NEG_INF);
+        }
         Hn[0] = 0;
         int32_t e = NEG_INF;
         uint8_t* prow = packed + (size_t)i * packed_stride;
-        for (int j = 1; j <= m; ++j) {
+        for (int j = j_lo; j <= j_hi; ++j) {
             int32_t f_open = H[j] - gap_open;
             int32_t f_ext = F[j] - gap_ext;
             bool fopen = f_open >= f_ext;
@@ -129,7 +141,7 @@ void sg_align_batch_native(
     const uint8_t* s1b, const uint8_t* s2b,
     const int32_t* len1, const int32_t* len2, const int32_t* gap_opens,
     int B, int n_stride, int m_stride,
-    int match, int mismatch, int gap_ext,
+    int match, int mismatch, int gap_ext, int band_hw,
     uint8_t* moves_out, int32_t* moves_len, int32_t* scores) {
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic)
@@ -139,7 +151,7 @@ void sg_align_batch_native(
         std::vector<uint8_t> packed((size_t)(n + 1) * m);
         PairResult res;
         dp_single(s1b + (size_t)b * n_stride, s2b + (size_t)b * m_stride,
-                  n, m, gap_opens[b], match, mismatch, gap_ext,
+                  n, m, gap_opens[b], match, mismatch, gap_ext, band_hw,
                   packed.data(), m, &res);
         moves_len[b] = traceback(packed.data(), m, n, m, res.end_i, res.end_j,
                                  moves_out + (size_t)b * (n_stride + m_stride));

@@ -386,12 +386,15 @@ def sg_align_batch(
     gap_opens: List[int],
     match: int = 2, mismatch: int = -2, gap_ext: int = 1,
     backend: Optional[str] = None,
+    band: int = 0,
 ) -> List[np.ndarray]:
     """Align a batch of byte-sequence pairs; return per-pair move arrays
     (full alignment columns incl. terminal gaps).
 
-    backend: "jax", "numpy", or None for auto (JAX on TPU for non-tiny
-    batches, numpy mirror elsewhere — identical results, tested)."""
+    backend: "native" (C++ engine), "jax", "numpy", or None for auto.
+    band > 0 restricts the native DP to +-band of the scaled main diagonal
+    (exact whenever the optimal path stays inside, i.e. for same-template
+    amplicon pairs); non-native backends ignore it (full DP)."""
     if not pairs:
         return []
     B = len(pairs)
@@ -403,7 +406,8 @@ def sg_align_batch(
             backend = "native" if native.available() else "numpy"
     if backend == "native":
         from .. import native
-        return native.align_batch_native(pairs, gap_opens, match, mismatch, gap_ext)
+        return native.align_batch_native(pairs, gap_opens, match, mismatch,
+                                         gap_ext, band=band)
     if backend == "jax":
         # coarse power-of-two-ish buckets: bound compiled-shape diversity
         n = _bucket_width(max(a.size for a, _ in pairs))
@@ -419,7 +423,7 @@ def sg_align_batch(
         for s in range(0, B, max_chunk):
             out.extend(
                 sg_align_batch(pairs[s : s + max_chunk], gap_opens[s : s + max_chunk],
-                               match, mismatch, gap_ext, backend)
+                               match, mismatch, gap_ext, backend, band)
             )
         return out
     s1b = _pad_batch([a for a, _ in pairs], n)

@@ -45,6 +45,9 @@ _N_SYM = 5  # A C G T gap
 # POA alignment parameters: cheap affine gaps suit noisy long reads (the
 # reference invokes spoa with a reduced gap penalty, consensus.py:87).
 POA_MATCH, POA_MISMATCH, POA_OPEN, POA_EXT = 2, -2, 2, 1
+#: DP band half-width for read-vs-consensus alignments (same-template pairs,
+#: drift far below this at any amplicon indel rate)
+POA_BAND = 150
 
 
 def trim_to_aligned(moves: np.ndarray) -> Tuple[np.ndarray, int, int]:
@@ -197,7 +200,7 @@ def msa_consensus_batch(
             cons_maps.append(cols)
         moves = sg_align_batch(pairs, [POA_OPEN] * len(pairs),
                                match=POA_MATCH, mismatch=POA_MISMATCH,
-                               gap_ext=POA_EXT)
+                               gap_ext=POA_EXT, band=POA_BAND)
         for ci, mv, cols in zip(todo, moves, cons_maps):
             profiles[ci].add_aligned(capped[ci][r], mv, cols)
     return [p.consensus() if p is not None else np.zeros(0, np.uint8)
@@ -225,7 +228,7 @@ def polish_round(
     pairs = [(center, r) for r in reads]
     moves_all = sg_align_batch(pairs, [POA_OPEN] * len(pairs),
                                match=POA_MATCH, mismatch=POA_MISMATCH,
-                               gap_ext=POA_EXT)
+                               gap_ext=POA_EXT, band=POA_BAND)
     L = center.size
     votes = np.zeros((L, _N_SYM), dtype=np.float64)
     coverage = np.zeros(L + 1, dtype=np.float64)   # insertion-slot coverage

@@ -74,7 +74,7 @@ class TestEngineVsOracle:
     def test_matches_oracle(self, rng, p_emp, p_matrix, wave_size):
         records = simulate_reads(rng)
         read_array = to_read_array(records)
-        cfg = Config(wave_size=wave_size)
+        cfg = Config(wave_size=wave_size, align_band=0)  # oracle is full-DP
         want_clusters, want_reps = oracle_cluster(read_array, p_emp, cfg)
         got_clusters, got_reps = run_engine(read_array, p_matrix, cfg)
         assert got_reps == want_reps
@@ -90,10 +90,20 @@ class TestEngineVsOracle:
         for r in results[1:]:
             assert r == results[0]
 
+    def test_band_matches_full_dp(self, rng, p_matrix):
+        # default banded fallback alignments give the same clusters as the
+        # reference-exact full DP on same-template reads
+        records = simulate_reads(rng, n_templates=3, reads_per=15, err=0.09)
+        read_array = to_read_array(records)
+        full = run_engine(read_array, p_matrix, Config(align_band=0))
+        banded = run_engine(read_array, p_matrix, Config(align_band=150))
+        assert full == banded
+
     def test_symmetric_thresholds(self, rng, p_emp, p_matrix):
         records = simulate_reads(rng, n_templates=2, reads_per=10)
         read_array = to_read_array(records)
-        cfg = Config(wave_size=8, symmetric_map_align_thresholds=True)
+        cfg = Config(wave_size=8, symmetric_map_align_thresholds=True,
+                     align_band=0)
         want = oracle_cluster(read_array, p_emp, cfg)
         got = run_engine(read_array, p_matrix, cfg)
         assert got[0] == want[0]
