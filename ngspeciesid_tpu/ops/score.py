@@ -42,16 +42,18 @@ def batch_scores(quals: Sequence[np.ndarray], k: int) -> np.ndarray:
         return np.zeros(0, dtype=np.float64)
     lens = np.array([q.size for q in quals], dtype=np.int64)
     lmax = int(lens.max())
-    factors = np.ones((n, lmax), dtype=np.float64)
-    select_mask = np.zeros((n, lmax - k + 1), dtype=bool)
-    for i, q in enumerate(quals):
-        w = 1.0 - PHRED_TO_P_CAPPED[q]
-        f = factors[i]
-        f[:k] = w[:k]
-        f[k:q.size] = w[k:] / w[: q.size - k]
-        select_mask[i, : q.size - k + 1] = True
+    cols = np.arange(lmax)
+    in_read = cols[None, :] < lens[:, None]
+    # padded (1 - p_err) matrix from the ragged batch in one scatter
+    W = np.ones((n, lmax), dtype=np.float64)
+    W[in_read] = 1.0 - PHRED_TO_P_CAPPED[np.concatenate(quals)]
+    # factors: first k raw windows values, then the ratio w[j] / w[j-k];
+    # padded cells forced to exactly 1.0 (selection, not arithmetic, so the
+    # cumprod stays bit-identical to the per-read recurrence)
+    factors = W.copy()
+    factors[:, k:] = np.where(in_read[:, k:], W[:, k:] / W[:, :-k], 1.0)
     c = np.cumprod(factors, axis=1)[:, k - 1 :]
-    c[~select_mask] = 0.0
+    c[~in_read[:, k - 1 :]] = 0.0
     sum_exp = np.cumsum(c, axis=1)[:, -1]
     n_kmers = (lens - k + 1).astype(np.float64)
     expected_err = n_kmers - sum_exp
@@ -70,12 +72,13 @@ def batch_error_rates(quals: Sequence[np.ndarray], capped: bool = False) -> np.n
     n = len(quals)
     if n == 0:
         return np.zeros(0, dtype=np.float64)
+    lens = np.array([q.size for q in quals], dtype=np.int64)
+    row_ids = np.repeat(np.arange(n), lens)
+    flat = np.concatenate(quals).astype(np.int64)
     counts = np.zeros((n, 128), dtype=np.float64)
-    for i, q in enumerate(quals):
-        counts[i] = np.bincount(q, minlength=128)
+    np.add.at(counts, (row_ids, flat), 1.0)
     table = PHRED_TO_P_CAPPED if capped else PHRED_TO_P
-    lens = np.array([q.size for q in quals], dtype=np.float64)
-    return np.cumsum(counts * table, axis=1)[:, -1] / lens
+    return np.cumsum(counts * table, axis=1)[:, -1] / lens.astype(np.float64)
 
 
 def score_single(qual: str, k: int) -> float:
