@@ -209,6 +209,22 @@ def detect_reverse_complements(centers: List[List], rc_identity_threshold: float
 # polishing drivers (C14)
 # ---------------------------------------------------------------------------
 
+def _load_neural_polisher(medaka_model: str):
+    """--medaka_model: path to trained GRU polisher params (models/train.py);
+    empty/default -> the deterministic quality-weighted pileup caller.
+    (The reference forwards the flag as medaka's `-m` model name,
+    consensus.py:100-101.)"""
+    if not medaka_model:
+        return None
+    import os as _os
+    if not _os.path.isfile(medaka_model):
+        logger.warning("medaka_model %r not found; using pileup caller", medaka_model)
+        return None
+    from ..models.polisher import neural_polish_round
+    from ..models.train import load_params
+    return load_params(medaka_model), neural_polish_round
+
+
 def _pooled_reads(all_reads_files: Sequence[str]):
     """Pool member reads of (possibly merged) clusters, dict-dedup by
     accession like the reference (consensus.py:210-215)."""
@@ -254,8 +270,14 @@ def polish_sequences(centers: List[List], cfg: Config) -> List[List]:
             mkdir_p(outdir)
             logger.debug("polishing (medaka-class) center %s with %d reads", c_id, len(records))
             polished = seq_bytes(center)
-            for _ in range(2):
+            neural = _load_neural_polisher(cfg.medaka_model)
+            if neural is not None:
+                params, neural_round = neural
                 polished = polish_round(polished, seqs, quals)
+                polished = neural_round(params, polished, seqs, quals)
+            else:
+                for _ in range(2):
+                    polished = polish_round(polished, seqs, quals)
             centers[i][2] = bytes_to_str(polished)
             name = f"consensus_cl_id_{c_id}_total_supporting_reads_{nr_reads}"
             if cfg.medaka_fastq:

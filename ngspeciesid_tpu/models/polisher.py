@@ -114,6 +114,46 @@ def make_train_step(optimizer: optax.GradientTransformation):
     return train_step
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _forward_jit(params, feats):
+    return forward(params, feats)
+
+
+def neural_polish_round(params, center: np.ndarray, reads, quals) -> np.ndarray:
+    """Medaka-class neural polishing: pileup features -> GRU -> per-position
+    symbol call (A/C/G/T/deletion); insertions come from the pileup majority
+    rule (same as ops/poa.polish_round).  Uncovered positions keep the draft.
+    """
+    from ..ops.poa import pileup_stats  # local import: avoid cycle
+
+    if not reads or center.size == 0:
+        return center
+    st = pileup_stats(center, reads, quals)
+    feats = pileup_features(center, st.votes, st.qvotes, st.ins_open, st.coverage)
+    L = center.size
+    Lp = -(-L // 256) * 256  # fixed-shape buckets keep compiles bounded
+    fpad = np.zeros((1, Lp, N_FEATURES), dtype=np.float32)
+    fpad[0, :L] = feats
+    logits = np.asarray(_forward_jit(params, jnp.asarray(fpad)))[0, :L]
+    cls = logits.argmax(axis=1)
+    out = []
+    cov = st.coverage
+    base_bytes = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for p in range(L + 1):
+        if st.ins_votes[p]:
+            total_ins = sum(st.ins_votes[p].values())
+            if total_ins > cov[p] / 2.0:
+                best = sorted(st.ins_votes[p].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                out.extend(best[0])
+        if p < L:
+            if st.votes[p].sum() == 0.0:
+                out.append(int(center[p]))
+            elif cls[p] < 4:
+                out.append(int(base_bytes[cls[p]]))
+            # cls 4 = deletion: emit nothing
+    return np.array(out, dtype=np.uint8)
+
+
 def pileup_features(
     center: np.ndarray, votes: np.ndarray, qvotes: np.ndarray,
     ins_open: np.ndarray, coverage: np.ndarray,

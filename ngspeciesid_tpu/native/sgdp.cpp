@@ -48,6 +48,7 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
     int32_t col_best = H[m], col_best_i = 0;   // last column j == len2
 
     const bool banded = band_hw > 0 && n > 0;
+    int prev_hi = m;
     for (int i = 1; i <= n; ++i) {
         uint8_t c1 = s1[i - 1];
         int j_lo = 1, j_hi = m;
@@ -55,9 +56,17 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
             long ci = (long)i * m / n;
             j_lo = (int)std::max(1L, ci - band_hw);
             j_hi = (int)std::min((long)m, ci + band_hw);
-            // the double-buffered row may hold values from two rows ago for
-            // cells outside this window; they must read as unreachable
-            std::fill(Hn.begin() + 1, Hn.end(), NEG_INF);
+            // consecutive windows must overlap (extreme length skew guard)
+            j_lo = std::min(j_lo, prev_hi + 1);
+            prev_hi = j_hi;
+            // Stale-cell analysis: window edges are nondecreasing, so cells
+            // right of every window were never written (still NEG from
+            // construction) and cells left of the window are never read
+            // again — EXCEPT the single left-margin cell j_lo-1, which the
+            // E-chain (this row) and the diagonal (next row) read from the
+            // double-buffered rows.  Clearing just that cell keeps the DP
+            // O(n * band) instead of O(n * m).
+            if (j_lo > 1) Hn[j_lo - 1] = NEG_INF;
         }
         Hn[0] = 0;
         int32_t e = NEG_INF;

@@ -211,6 +211,79 @@ def msa_consensus_batch(
 # pileup polish (racon/medaka-class refinement)
 # ---------------------------------------------------------------------------
 
+class PileupStats:
+    """Per-position pileup statistics of reads aligned against a center."""
+
+    __slots__ = ("votes", "qvotes", "coverage", "ins_votes", "ins_open")
+
+    def __init__(self, L: int):
+        self.votes = np.zeros((L, _N_SYM), dtype=np.float64)     # unit counts
+        self.qvotes = np.zeros((L, _N_SYM), dtype=np.float64)    # qual-weighted
+        self.coverage = np.zeros(L + 1, dtype=np.float64)        # slot coverage
+        self.ins_votes: List[Dict[bytes, float]] = [dict() for _ in range(L + 1)]
+        self.ins_open = np.zeros(L + 1, dtype=np.float64)
+
+
+def pileup_stats(
+    center: np.ndarray,
+    reads: Sequence[np.ndarray],
+    quals: Optional[Sequence[np.ndarray]] = None,
+) -> PileupStats:
+    """Align reads to the fixed center (banded, batched) and accumulate both
+    unit and quality-weighted per-column counts plus insertion events."""
+    L = center.size
+    st = PileupStats(L)
+    if not reads or L == 0:
+        return st
+    pairs = [(center, r) for r in reads]
+    moves_all = sg_align_batch(pairs, [POA_OPEN] * len(pairs),
+                               match=POA_MATCH, mismatch=POA_MISMATCH,
+                               gap_ext=POA_EXT, band=POA_BAND)
+    votes, qvotes = st.votes, st.qvotes
+    for ri_read, moves in enumerate(moves_all):
+        read = reads[ri_read]
+        w = (1.0 - PHRED_TO_P_CAPPED[quals[ri_read]]) if quals is not None else None
+        core, ci, ri = trim_to_aligned(moves)
+        if core.size == 0:
+            continue
+        lo = ci
+        pending: List[int] = []
+        pending_w = 0.0
+
+        def flush(ci):
+            nonlocal pending, pending_w
+            d = st.ins_votes[ci]
+            key = bytes(pending)
+            d[key] = d.get(key, 0.0) + pending_w / len(pending)
+            st.ins_open[ci] += 1.0
+            pending, pending_w = [], 0.0
+
+        for mv in core:
+            if mv == DIAG:
+                if pending:
+                    flush(ci)
+                b = _BASE_TO_COL[read[ri]]
+                if b >= 0:
+                    votes[ci, b] += 1.0
+                    qvotes[ci, b] += w[ri] if w is not None else 1.0
+                ci += 1
+                ri += 1
+            elif mv == UP:
+                if pending:
+                    flush(ci)
+                votes[ci, GAP_COL] += 1.0
+                qvotes[ci, GAP_COL] += 1.0
+                ci += 1
+            else:
+                pending.append(int(read[ri]))
+                pending_w += float(w[ri]) if w is not None else 1.0
+                ri += 1
+        if pending:
+            flush(ci)
+        st.coverage[lo : ci + 1] += 1.0
+    return st
+
+
 def polish_round(
     center: np.ndarray,
     reads: Sequence[np.ndarray],
@@ -225,52 +298,11 @@ def polish_round(
     """
     if not reads or center.size == 0:
         return center
-    pairs = [(center, r) for r in reads]
-    moves_all = sg_align_batch(pairs, [POA_OPEN] * len(pairs),
-                               match=POA_MATCH, mismatch=POA_MISMATCH,
-                               gap_ext=POA_EXT, band=POA_BAND)
+    st = pileup_stats(center, reads, quals)
     L = center.size
-    votes = np.zeros((L, _N_SYM), dtype=np.float64)
-    coverage = np.zeros(L + 1, dtype=np.float64)   # insertion-slot coverage
-    ins_votes: List[Dict[bytes, float]] = [dict() for _ in range(L + 1)]
-    for ri_read, moves in enumerate(moves_all):
-        read = reads[ri_read]
-        w = (1.0 - PHRED_TO_P_CAPPED[quals[ri_read]]) if quals is not None else None
-        core, ci, ri = trim_to_aligned(moves)
-        if core.size == 0:
-            continue
-        lo = ci
-        pending: List[int] = []
-        pending_w = 0.0
-        for mv in core:
-            if mv == DIAG:
-                if pending:
-                    d = ins_votes[ci]
-                    key = bytes(pending)
-                    d[key] = d.get(key, 0.0) + pending_w / len(pending)
-                    pending, pending_w = [], 0.0
-                b = _BASE_TO_COL[read[ri]]
-                if b >= 0:
-                    votes[ci, b] += w[ri] if w is not None else 1.0
-                ci += 1
-                ri += 1
-            elif mv == UP:
-                if pending:
-                    d = ins_votes[ci]
-                    key = bytes(pending)
-                    d[key] = d.get(key, 0.0) + pending_w / len(pending)
-                    pending, pending_w = [], 0.0
-                votes[ci, GAP_COL] += 1.0
-                ci += 1
-            else:
-                pending.append(int(read[ri]))
-                pending_w += float(w[ri]) if w is not None else 1.0
-                ri += 1
-        if pending:
-            d = ins_votes[ci]
-            key = bytes(pending)
-            d[key] = d.get(key, 0.0) + pending_w / len(pending)
-        coverage[lo : ci + 1] += 1.0
+    votes = st.qvotes if quals is not None else st.votes
+    coverage = st.coverage
+    ins_votes = st.ins_votes
     out: List[int] = []
     for p in range(L + 1):
         if ins_votes[p]:
