@@ -51,48 +51,81 @@ logger = logging.getLogger(__name__)
 
 
 class MinimizerDB:
-    """code -> ordered list of representative ids, plus a flat snapshot for
-    batched joins (rebuilt lazily per wave)."""
+    """Minimizer postings: code -> ordered representative ids.
+
+    Two-tier layout for O(1)-amortized growth under the wave engine's
+    frequent snapshots: a sorted base (codes array + CSR postings) serving
+    vectorized searchsorted joins, plus a small delta dict holding recent
+    insertions.  The delta folds into the base only when it outgrows a
+    fraction of it, so snapshot cost is amortized-logarithmic instead of a
+    full rebuild per sub-round.  Posting order (insertion order per code) is
+    preserved across compactions — candidate ordering never depends on it
+    (the sort key is (hits, sum_pos, acc), cluster.py:79), but determinism is
+    kept anyway.
+    """
 
     def __init__(self) -> None:
-        self.table: Dict[int, List[int]] = {}
-        self._snap_codes: Optional[np.ndarray] = None
-        self._snap_off: Optional[np.ndarray] = None
-        self._snap_posts: Optional[np.ndarray] = None
-        self._dirty = True
+        self.delta: Dict[int, List[int]] = {}
+        self._n_codes = 0
+        self._base_codes = np.zeros(0, dtype=np.int64)
+        self._base_off = np.zeros(1, dtype=np.int64)
+        self._base_posts = np.zeros(0, dtype=np.int64)
 
     def __len__(self) -> int:
-        return len(self.table)
+        return self._n_codes
 
     def insert(self, codes: np.ndarray, rep_id: int) -> None:
-        table = self.table
-        for c in codes.tolist():
-            lst = table.get(c)
+        # one insert per representative; per-read duplicate codes collapse
+        # (reference set semantics, cluster.py:329-334)
+        delta = self.delta
+        base_codes = self._base_codes
+        for c in np.unique(codes).tolist():
+            lst = delta.get(c)
             if lst is None:
-                table[c] = [rep_id]
-            elif rep_id not in lst:  # set semantics (cluster.py:329-334)
+                delta[c] = [rep_id]
+                loc = np.searchsorted(base_codes, c)
+                if loc >= base_codes.size or base_codes[loc] != c:
+                    self._n_codes += 1
+            else:
                 lst.append(rep_id)
-        self._dirty = True
 
-    def snapshot(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        if self._dirty:
-            codes = np.fromiter(self.table.keys(), dtype=np.int64, count=len(self.table))
-            order = np.argsort(codes, kind="stable")
-            codes = codes[order]
-            lists = list(self.table.values())
-            lens = np.fromiter((len(v) for v in lists), dtype=np.int64, count=len(lists))[order]
-            off = np.zeros(codes.size + 1, dtype=np.int64)
-            np.cumsum(lens, out=off[1:])
-            posts = np.empty(off[-1], dtype=np.int64)
-            keys_sorted_idx = order
-            all_lists = [lists[i] for i in keys_sorted_idx]
-            pos = 0
-            for lst in all_lists:
-                posts[pos : pos + len(lst)] = lst
-                pos += len(lst)
-            self._snap_codes, self._snap_off, self._snap_posts = codes, off, posts
-            self._dirty = False
-        return self._snap_codes, self._snap_off, self._snap_posts
+    def _compact(self) -> None:
+        if not self.delta:
+            return
+        d_codes = np.fromiter(self.delta.keys(), dtype=np.int64, count=len(self.delta))
+        d_lens = np.fromiter((len(v) for v in self.delta.values()), dtype=np.int64,
+                             count=len(self.delta))
+        d_posts = np.fromiter(
+            (r for lst in self.delta.values() for r in lst),
+            dtype=np.int64, count=int(d_lens.sum()))
+        # merge at posting level: stable sort by code keeps base postings
+        # ahead of delta postings for shared codes
+        base_lens = np.diff(self._base_off)
+        post_codes = np.concatenate([
+            np.repeat(self._base_codes, base_lens), np.repeat(d_codes, d_lens)])
+        post_vals = np.concatenate([self._base_posts, d_posts])
+        order = np.argsort(post_codes, kind="stable")
+        post_codes = post_codes[order]
+        self._base_posts = post_vals[order]
+        first = np.empty(post_codes.size, dtype=bool)
+        if post_codes.size:
+            first[0] = True
+            first[1:] = post_codes[1:] != post_codes[:-1]
+            starts = np.flatnonzero(first)
+            self._base_codes = post_codes[starts]
+            self._base_off = np.append(starts, post_codes.size).astype(np.int64)
+        else:
+            self._base_codes = np.zeros(0, np.int64)
+            self._base_off = np.zeros(1, np.int64)
+        self.delta = {}
+        self._n_codes = self._base_codes.size
+
+    def snapshot(self):
+        """(base_codes, base_off, base_posts, delta) for the batched join;
+        folds the delta in when it has outgrown a quarter of the base."""
+        if len(self.delta) > max(1024, self._base_codes.size // 4):
+            self._compact()
+        return self._base_codes, self._base_off, self._base_posts, self.delta
 
 
 class GapPassTable:
@@ -127,15 +160,16 @@ class ClusterState:
 def _candidate_groups(
     store: ReadStore,
     rows: np.ndarray,
-    snap: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    snap,
     exclude_self: bool = True,
 ):
-    """Batched minimizer join: hits of each wave read against the snapshot DB.
+    """Batched minimizer join: hits of each wave read against the snapshot DB
+    (sorted base via searchsorted + recent-insert delta via dict lookups).
 
     Returns flat per-hit arrays grouped by (wave_read, rep): group start
     offsets, plus per-group read row, rep id, hit counts.
     """
-    codes_s, off, posts = snap
+    codes_s, off, posts, delta = snap
     rid_list, midx_list, pos_list, code_list = [], [], [], []
     for wi, row in enumerate(rows):
         c = store.min_codes[row]
@@ -149,28 +183,44 @@ def _candidate_groups(
     midx = np.concatenate(midx_list)
     pos = np.concatenate(pos_list)
     code = np.concatenate(code_list)
-    if codes_s.size == 0:
+
+    parts = []  # (rid_e, midx_e, pos_e, reps) fragments
+    if codes_s.size:
+        loc = np.searchsorted(codes_s, code)
+        loc_c = np.minimum(loc, codes_s.size - 1)
+        found = codes_s[loc_c] == code
+        b_rid, b_midx, b_pos, b_loc = rid[found], midx[found], pos[found], loc_c[found]
+        if b_rid.size:
+            counts = off[b_loc + 1] - off[b_loc]
+            total = int(counts.sum())
+            if total:
+                starts = np.repeat(off[b_loc], counts)
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(counts) - counts, counts
+                )
+                parts.append((np.repeat(b_rid, counts), np.repeat(b_midx, counts),
+                              np.repeat(b_pos, counts), posts[starts + within]))
+    if delta:
+        get = delta.get
+        d_rid, d_midx, d_pos, d_reps = [], [], [], []
+        for t in range(code.size):
+            lst = get(int(code[t]))
+            if lst is not None:
+                d_rid.extend([rid[t]] * len(lst))
+                d_midx.extend([midx[t]] * len(lst))
+                d_pos.extend([pos[t]] * len(lst))
+                d_reps.extend(lst)
+        if d_rid:
+            parts.append((np.array(d_rid, dtype=np.int64),
+                          np.array(d_midx, dtype=np.int64),
+                          np.array(d_pos, dtype=np.int64),
+                          np.array(d_reps, dtype=np.int64)))
+    if not parts:
         return None
-    loc = np.searchsorted(codes_s, code)
-    loc_c = np.minimum(loc, codes_s.size - 1)
-    found = codes_s[loc_c] == code
-    rid, midx, pos, loc_c = rid[found], midx[found], pos[found], loc_c[found]
-    if rid.size == 0:
-        return None
-    counts = off[loc_c + 1] - off[loc_c]
-    # expand postings
-    total = int(counts.sum())
-    if total == 0:
-        return None
-    reps = np.empty(total, dtype=np.int64)
-    starts = np.repeat(off[loc_c], counts)
-    within = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(counts) - counts, counts
-    )
-    reps = posts[starts + within]
-    rid_e = np.repeat(rid, counts)
-    midx_e = np.repeat(midx, counts)
-    pos_e = np.repeat(pos, counts)
+    rid_e = np.concatenate([p[0] for p in parts])
+    midx_e = np.concatenate([p[1] for p in parts])
+    pos_e = np.concatenate([p[2] for p in parts])
+    reps = np.concatenate([p[3] for p in parts])
     if exclude_self:
         self_ids = store.ids[rows][rid_e]
         keep = reps != self_ids
