@@ -281,21 +281,12 @@ def _mapping_stats(
     return mapped / l_comp, mapped / rep_len
 
 
-def _sorted_candidate_order(store, groups, sum_pos, n_seg):
+def _sorted_candidate_order(store, groups, sum_pos):
     """Per-wave-read candidate ordering: (count, sum_pos, acc) descending."""
     rep_rows = np.array([store.id_to_row[int(r)] for r in groups["g_rep"]], dtype=np.int64)
     neg_rank = -store.acc_rank[rep_rows]
     order = np.lexsort((neg_rank, -sum_pos, -groups["g_count"], groups["g_rid"]))
     return order
-
-
-class WaveResult:
-    __slots__ = ("decision", "nr_shared", "aln_pairs")
-
-    def __init__(self, decision: int, nr_shared: int, aln_pairs):
-        self.decision = decision      # rep id or -1
-        self.nr_shared = nr_shared
-        self.aln_pairs = aln_pairs    # ordered [(rep_id, ...)] needing alignment
 
 
 def _decide_waves(
@@ -314,7 +305,7 @@ def _decide_waves(
     seg_ids = np.repeat(np.arange(n_seg), groups["g_count"])
     sum_pos = np.bincount(seg_ids, weights=groups["pos"], minlength=n_seg)
     ratio, rep_ratio = _mapping_stats(store, rows, groups, gap_table, cfg)
-    order = _sorted_candidate_order(store, groups, sum_pos, groups["seg_start"].size)
+    order = _sorted_candidate_order(store, groups, sum_pos)
     g_rid = groups["g_rid"][order]
     g_rep = groups["g_rep"][order]
     g_count = groups["g_count"][order]
