@@ -378,7 +378,21 @@ def _run_alignments(
         ers = float(store.full_err[row]) + float(store.full_err[rrow])
         gap_opens.append(_gap_open_tier(ers))
         match_ids.append(math.floor((1.0 - ers) * cfg.k))
-    moves = sg_align_batch(pairs, gap_opens, band=cfg.align_band)
+    from .. import native
+    if native.available():
+        # stats-only fast path: the fallback decision consumes two ratios
+        # per pair, so DP + traceback + window counting stay in C
+        stats = native.block_stats_native(
+            pairs, gap_opens, [cfg.k] * len(pairs), match_ids,
+            band=cfg.align_band)
+    else:
+        moves = sg_align_batch(pairs, gap_opens, band=cfg.align_band)
+        stats = []
+        for pi, (wi, oi, row, rrow) in enumerate(meta):
+            mv = match_vector(moves[pi], store.seq_b[row], store.seq_b[rrow])
+            stats.append(block_aligned_stats(
+                mv, cfg.k, match_ids[pi],
+                store.seq_b[row].size, store.seq_b[rrow].size))
     winners: Dict[int, int] = {}
     # group by wave_idx preserving candidate order
     per_read: Dict[int, List[Tuple[int, int]]] = {}
@@ -388,10 +402,7 @@ def _run_alignments(
         lst.sort()
         for oi, pi in lst:
             _, _, row, rrow = meta[pi]
-            mv = match_vector(moves[pi], store.seq_b[row], store.seq_b[rrow])
-            r1, r2 = block_aligned_stats(
-                mv, cfg.k, match_ids[pi], store.seq_b[row].size, store.seq_b[rrow].size
-            )
+            r1, r2 = stats[pi]
             if cfg.symmetric_map_align_thresholds:
                 ok = min(r1, r2) >= cfg.aligned_threshold
             else:

@@ -14,7 +14,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..ops.minimizers import alphabet_ranks, sequence_minimizers
+from ..ops.minimizers import alphabet_ranks, batch_minimizers
 from ..utils.phred import PHRED_TO_P_CAPPED
 from ..utils.ptable import clamp_error_rate
 from ..utils.seqs import hpol_compress_bytes, hpol_compressed_qual_bytes, seq_bytes
@@ -96,19 +96,13 @@ def build_store(
     error_rates = np.empty(n, dtype=np.float64)
     full_err = np.empty(n, dtype=np.float64)
     eidx = np.empty(n, dtype=np.int8)
-    min_codes: List[np.ndarray] = []
-    min_pos: List[np.ndarray] = []
     for i in range(n):
         error_rates[i] = _hpol_error_rate(seq_b[i], qual_b[i])
         full_err[i] = _full_error_rate(qual_b[i])
         eidx[i] = int(round(clamp_error_rate(error_rates[i]) * 100)) - 1
-        if hpol[i].size >= k:
-            codes, pos = sequence_minimizers(hpol[i], k, w, rank_of, rank_bits)
-        else:
-            codes = np.zeros(0, dtype=np.int64)
-            pos = np.zeros(0, dtype=np.int64)
-        min_codes.append(codes)
-        min_pos.append(pos)
+    minims = batch_minimizers(hpol, k, w, rank_of, rank_bits)
+    min_codes = [m[0] for m in minims]
+    min_pos = [m[1] for m in minims]
 
     order = np.array(sorted(range(n), key=lambda i: accs[i]), dtype=np.int64)
     acc_rank = np.empty(n, dtype=np.int64)

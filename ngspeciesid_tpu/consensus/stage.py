@@ -189,10 +189,16 @@ def detect_reverse_complements(centers: List[List], rc_identity_threshold: float
             s2 = seq_bytes(seq2)
             pairs.append((s1, s2))
             pairs.append((s1, reverse_complement_bytes(s2)))
-        moves = sg_align_batch(pairs, [3] * len(pairs), band=band)
+        from .. import native
+        if native.available():
+            idents = native.identity_native(pairs, [3] * len(pairs), band=band)
+        else:
+            moves = sg_align_batch(pairs, [3] * len(pairs), band=band)
+            idents = [identity_from_moves(moves[t], s1, pairs[t][1])
+                      for t in range(len(pairs))]
         for j, (nr2, c_id2, seq2, rp2) in enumerate(later):
-            ident_fw = identity_from_moves(moves[2 * j], s1, pairs[2 * j][1])
-            ident_rc = identity_from_moves(moves[2 * j + 1], s1, pairs[2 * j + 1][1])
+            ident_fw = idents[2 * j]
+            ident_rc = idents[2 * j + 1]
             if max(ident_fw, ident_rc) >= rc_identity_threshold:
                 merged_nr += nr2
                 already_removed.add(c_id2)

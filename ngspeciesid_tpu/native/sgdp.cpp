@@ -168,4 +168,86 @@ void sg_align_batch_native(
     }
 }
 
+// Batched DP + block-alignment statistics, no move export.
+// For each pair: run the DP, trace back, build the per-column match vector
+// (terminal gaps included, like a parasail CIGAR) and count rolling windows
+// of k columns with >= match_id matches (reference cluster.py:144-168).
+// ratios[2b] = aligned / len1, ratios[2b+1] = aligned / len2.
+void sg_block_stats_native(
+    const uint8_t* s1b, const uint8_t* s2b,
+    const int32_t* len1, const int32_t* len2, const int32_t* gap_opens,
+    const int32_t* ks, const int32_t* match_ids,
+    int B, int n_stride, int m_stride,
+    int match, int mismatch, int gap_ext, int band_hw,
+    double* ratios) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int b = 0; b < B; ++b) {
+        int n = len1[b], m = len2[b];
+        std::vector<uint8_t> packed((size_t)(n + 1) * m);
+        PairResult res;
+        const uint8_t* s1 = s1b + (size_t)b * n_stride;
+        const uint8_t* s2 = s2b + (size_t)b * m_stride;
+        dp_single(s1, s2, n, m, gap_opens[b], match, mismatch, gap_ext,
+                  band_hw, packed.data(), m, &res);
+        std::vector<uint8_t> moves(n + m);
+        int len = traceback(packed.data(), m, n, m, res.end_i, res.end_j,
+                            moves.data());
+        int k = ks[b], match_id = match_ids[b];
+        if (len < k) { ratios[2 * b] = 0.0; ratios[2 * b + 1] = 0.0; continue; }
+        // match vector + rolling window in one pass
+        std::vector<uint8_t> mv(len);
+        int i = 0, j = 0;
+        for (int t = 0; t < len; ++t) {
+            uint8_t op = moves[t];
+            if (op == MV_DIAG) { mv[t] = s1[i] == s2[j]; ++i; ++j; }
+            else if (op == MV_UP) { mv[t] = 0; ++i; }
+            else { mv[t] = 0; ++j; }
+        }
+        int window = 0, aligned = 0;
+        for (int t = 0; t < k; ++t) window += mv[t];
+        aligned += window >= match_id;
+        for (int t = k; t < len; ++t) {
+            window += mv[t] - mv[t - k];
+            aligned += window >= match_id;
+        }
+        ratios[2 * b] = (double)aligned / n;
+        ratios[2 * b + 1] = (double)aligned / m;
+    }
+}
+
+// Batched DP + column identity (reference consensus.py:129-145):
+// identities[b] = matching columns / total alignment columns.
+void sg_identity_native(
+    const uint8_t* s1b, const uint8_t* s2b,
+    const int32_t* len1, const int32_t* len2, const int32_t* gap_opens,
+    int B, int n_stride, int m_stride,
+    int match, int mismatch, int gap_ext, int band_hw,
+    double* identities) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int b = 0; b < B; ++b) {
+        int n = len1[b], m = len2[b];
+        std::vector<uint8_t> packed((size_t)(n + 1) * m);
+        PairResult res;
+        const uint8_t* s1 = s1b + (size_t)b * n_stride;
+        const uint8_t* s2 = s2b + (size_t)b * m_stride;
+        dp_single(s1, s2, n, m, gap_opens[b], match, mismatch, gap_ext,
+                  band_hw, packed.data(), m, &res);
+        std::vector<uint8_t> moves(n + m);
+        int len = traceback(packed.data(), m, n, m, res.end_i, res.end_j,
+                            moves.data());
+        int i = 0, j = 0, matches = 0;
+        for (int t = 0; t < len; ++t) {
+            uint8_t op = moves[t];
+            if (op == MV_DIAG) { matches += s1[i] == s2[j]; ++i; ++j; }
+            else if (op == MV_UP) ++i;
+            else ++j;
+        }
+        identities[b] = len ? (double)matches / len : 0.0;
+    }
+}
+
 }  // extern "C"

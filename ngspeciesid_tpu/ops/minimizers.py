@@ -123,21 +123,88 @@ def sequence_minimizers(
     return minimizers_from_codes(codes, k, w)
 
 
+def _batch_minimizers_padded(
+    seqs: List[np.ndarray], k: int, w: int, rank_of: np.ndarray, rank_bits: int
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Vectorized minimizer extraction for a chunk of sequences of length
+    >= max(k, w - k + 1): pads the chunk into one (B, Lmax) matrix and runs
+    k-mer packing, the strided window min/argmin, and the emission rules as
+    whole-matrix ops.  Semantically identical to per-read
+    :func:`minimizers_from_codes` (covered by the same property tests)."""
+    B = len(seqs)
+    win = w - k + 1
+    lens = np.array([s.size for s in seqs], dtype=np.int64)
+    lmax = int(lens.max())
+    mat = np.zeros((B, lmax), dtype=np.uint8)
+    in_read = np.arange(lmax)[None, :] < lens[:, None]
+    mat[in_read] = np.concatenate(seqs)
+    # packed k-mer codes at every position (truncated tail k-mers included)
+    ranks = rank_of[mat]
+    ranks[~in_read] = 0
+    codes = np.zeros((B, lmax), dtype=np.int64)
+    for offset in range(k):
+        shifted = np.zeros((B, lmax), dtype=np.int64)
+        shifted[:, : lmax - offset] = ranks[:, offset:]
+        codes = (codes << rank_bits) | shifted
+    n_kmers = lens - k + 1
+    # positions beyond each read's kmer range must never win a window
+    kmer_valid = np.arange(lmax)[None, :] < n_kmers[:, None]
+    kmers = np.where(kmer_valid, codes, _SENTINEL)
+    n_win = lmax - k + 1 - win + 1
+    if n_win < 1:
+        return [sequence_minimizers(s, k, w, rank_of, rank_bits) for s in seqs]
+    strided = np.lib.stride_tricks.sliding_window_view(kmers[:, : lmax - k + 1], win, axis=1)
+    mins = strided.min(axis=2)                       # (B, n_win)
+    argmins = strided.argmin(axis=2) + np.arange(n_win)[None, :]
+    emit_left = kmers[:, : n_win - 1] == mins[:, : n_win - 1]
+    entering = kmers[:, win : win + n_win - 1]
+    emit_new = (~emit_left) & (entering < mins[:, : n_win - 1])
+    emit = np.concatenate([np.ones((B, 1), bool), emit_left | emit_new], axis=1)
+    win_valid = np.arange(n_win)[None, :] <= (n_kmers - win)[:, None]
+    emit &= win_valid
+    out_codes = np.where(
+        np.concatenate([np.ones((B, 1), bool), emit_left], axis=1),
+        mins,
+        np.concatenate([mins[:, :1], entering], axis=1),
+    )
+    out_pos = np.where(
+        np.concatenate([np.ones((B, 1), bool), emit_left], axis=1),
+        argmins,
+        np.concatenate([argmins[:, :1],
+                        np.broadcast_to(np.arange(win, win + n_win - 1)[None, :],
+                                        (B, n_win - 1))], axis=1),
+    )
+    out: List[Tuple[np.ndarray, np.ndarray]] = []
+    for b in range(B):
+        sel = emit[b]
+        out.append((out_codes[b][sel].astype(np.int64),
+                    out_pos[b][sel].astype(np.int64)))
+    return out
+
+
+_CHUNK = 512
+
+
 def batch_minimizers(
     seqs: List[np.ndarray], k: int, w: int, rank_of: np.ndarray, rank_bits: int
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
-    """Minimizers for a batch of byte sequences.
-
-    Padded-batch layout: codes for all reads are packed into one (B, Lmax)
-    matrix with SENTINEL padding so the strided window reduction runs as one
-    vectorized op over the whole batch; per-read emissions are then sliced
-    out.  Sequences shorter than k yield empty results (callers skip them,
-    matching the contract's ``len(hpol) < k`` guard).
-    """
-    out: List[Tuple[np.ndarray, np.ndarray]] = []
-    for seq in seqs:
-        if seq.size < k:
-            out.append((np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)))
-            continue
-        out.append(sequence_minimizers(seq, k, w, rank_of, rank_bits))
+    """Minimizers for a batch of byte sequences: chunked padded-matrix fast
+    path for regular-length reads, per-read fallback for short/edge cases.
+    Sequences shorter than k yield empty results (callers skip them,
+    matching the contract's ``len(hpol) < k`` guard)."""
+    win = w - k + 1
+    out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(seqs)
+    fast_idx = [i for i, s in enumerate(seqs) if s.size - k + 1 > win]
+    for s in range(0, len(fast_idx), _CHUNK):
+        idx = fast_idx[s : s + _CHUNK]
+        results = _batch_minimizers_padded([seqs[i] for i in idx], k, w,
+                                           rank_of, rank_bits)
+        for i, r in zip(idx, results):
+            out[i] = r
+    for i, s in enumerate(seqs):
+        if out[i] is None:
+            if s.size < k:
+                out[i] = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+            else:
+                out[i] = sequence_minimizers(s, k, w, rank_of, rank_bits)
     return out
