@@ -110,13 +110,19 @@ def write_cluster_tables(
 
 def run(cfg: Config) -> None:
     """Full pipeline (reference main, NGSpeciesID:36-158)."""
+    import time
+
     mkdir_p(cfg.outfolder)
+    t0 = time.time()
     sorted_path = score_and_sort(cfg)
+    logger.debug("elapsed time sorting: %.2fs", time.time() - t0)
     read_array = load_read_array(sorted_path, cfg)
     abundance_cutoff = int(cfg.abundance_ratio * len(read_array))
 
     logger.info("Starting Clustering: %d reads", len(read_array))
+    t0 = time.time()
     clusters, store, alive = cluster_read_array(read_array, cfg)
+    logger.debug("Time elapsed clustering: %.2fs", time.time() - t0)
     nontrivial = write_cluster_tables(clusters, store, cfg)
     logger.info("Finished Clustering: %d clusters formed", nontrivial)
 
@@ -129,9 +135,11 @@ def run(cfg: Config) -> None:
         )
         rep_scores = {int(store.ids[store.row(c)]): float(store.scores[store.row(c)])
                       for c in clusters}
+        t0 = time.time()
         centers = run_consensus_stage(
             clusters, rep_scores, sorted_path, work_dir, abundance_cutoff, cfg
         )
+        logger.debug("Time elapsed consensus+polish: %.2fs", time.time() - t0)
         shutil.rmtree(work_dir)
         logger.info("Finished Consensus creation: %d created", len(centers))
 
