@@ -231,6 +231,12 @@ def _load_neural_polisher(medaka_model: str):
     return load_params(medaka_model), neural_polish_round
 
 
+#: Polishing depth cap: beyond ~1000x the pileup plurality is statistically
+#: saturated, so centers of huge clusters subsample uniformly for the polish
+#: alignments (the full read set is still written to reads_to_consensus_*).
+POLISH_MAX_READS = 1000
+
+
 def _pooled_reads(all_reads_files: Sequence[str]):
     """Pool member reads of (possibly merged) clusters, dict-dedup by
     accession like the reference (consensus.py:210-215)."""
@@ -244,6 +250,15 @@ def _pooled_reads(all_reads_files: Sequence[str]):
             seqs.append(seq_bytes(seq))
             quals.append(qual_bytes(qual))
     return records, seqs, quals
+
+
+def _polish_subset(seqs, quals):
+    """Uniformly spaced subsample for polishing above the depth cap."""
+    n = len(seqs)
+    if n <= POLISH_MAX_READS:
+        return seqs, quals
+    idx = np.linspace(0, n - 1, POLISH_MAX_READS).astype(np.int64)
+    return [seqs[i] for i in idx], [quals[i] for i in idx]
 
 
 def polish_sequences(centers: List[List], cfg: Config) -> List[List]:
@@ -276,14 +291,15 @@ def polish_sequences(centers: List[List], cfg: Config) -> List[List]:
             mkdir_p(outdir)
             logger.debug("polishing (medaka-class) center %s with %d reads", c_id, len(records))
             polished = seq_bytes(center)
+            p_seqs, p_quals = _polish_subset(seqs, quals)
             neural = _load_neural_polisher(cfg.medaka_model)
             if neural is not None:
                 params, neural_round = neural
-                polished = polish_round(polished, seqs, quals)
-                polished = neural_round(params, polished, seqs, quals)
+                polished = polish_round(polished, p_seqs, p_quals)
+                polished = neural_round(params, polished, p_seqs, p_quals)
             else:
                 for _ in range(2):
-                    polished = polish_round(polished, seqs, quals)
+                    polished = polish_round(polished, p_seqs, p_quals)
             centers[i][2] = bytes_to_str(polished)
             name = f"consensus_cl_id_{c_id}_total_supporting_reads_{nr_reads}"
             if cfg.medaka_fastq:
@@ -297,8 +313,9 @@ def polish_sequences(centers: List[List], cfg: Config) -> List[List]:
             mkdir_p(outdir)
             logger.debug("polishing (racon-class) center %s with %d reads", c_id, len(records))
             polished = seq_bytes(center)
+            p_seqs, _ = _polish_subset(seqs, quals)
             for it in range(cfg.racon_iter):
-                polished = polish_round(polished, seqs)
+                polished = polish_round(polished, p_seqs)
                 with open(os.path.join(outdir, f"racon_polished_it_{it}.fasta"), "w") as f:
                     f.write(f">consensus_cl_id_{c_id}\n{bytes_to_str(polished)}\n")
             centers[i][2] = bytes_to_str(polished)
