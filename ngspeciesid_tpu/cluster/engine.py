@@ -358,11 +358,14 @@ def _run_alignments(
     store: ReadStore,
     requests: List[Tuple[int, int, List[int]]],  # (wave_idx, read_row, [rep_ids])
     cfg: Config,
+    cache: Optional[Dict[Tuple[int, int], Tuple[float, float]]] = None,
 ) -> Dict[int, int]:
     """Batched alignment fallback.  Returns {wave_idx: rep_id} for passes.
 
     All candidate pairs are aligned speculatively in one device batch; the
-    sequential first-pass-wins rule is applied afterwards per read."""
+    sequential first-pass-wins rule is applied afterwards per read.  The
+    per-pair ratios are pure functions of the pair, so sub-round rescoring
+    reuses them through ``cache`` instead of re-running the DP."""
     pairs = []
     meta = []  # (wave_idx, order_in_read, read_row, rep_row)
     for wi, row, rep_ids in requests:
@@ -378,21 +381,34 @@ def _run_alignments(
         ers = float(store.full_err[row]) + float(store.full_err[rrow])
         gap_opens.append(_gap_open_tier(ers))
         match_ids.append(math.floor((1.0 - ers) * cfg.k))
-    from .. import native
-    if native.available():
-        # stats-only fast path: the fallback decision consumes two ratios
-        # per pair, so DP + traceback + window counting stay in C
-        stats = native.block_stats_native(
-            pairs, gap_opens, [cfg.k] * len(pairs), match_ids,
-            band=cfg.align_band)
-    else:
-        moves = sg_align_batch(pairs, gap_opens, band=cfg.align_band)
-        stats = []
-        for pi, (wi, oi, row, rrow) in enumerate(meta):
-            mv = match_vector(moves[pi], store.seq_b[row], store.seq_b[rrow])
-            stats.append(block_aligned_stats(
-                mv, cfg.k, match_ids[pi],
-                store.seq_b[row].size, store.seq_b[rrow].size))
+    if cache is None:
+        cache = {}
+    todo = [pi for pi, (wi, oi, row, rrow) in enumerate(meta)
+            if (row, rrow) not in cache]
+    if todo:
+        sub_pairs = [pairs[pi] for pi in todo]
+        sub_opens = [gap_opens[pi] for pi in todo]
+        sub_mids = [match_ids[pi] for pi in todo]
+        from .. import native
+        if native.available():
+            # stats-only fast path: the fallback decision consumes two
+            # ratios per pair, so DP + traceback + counting stay in C
+            fresh = native.block_stats_native(
+                sub_pairs, sub_opens, [cfg.k] * len(sub_pairs), sub_mids,
+                band=cfg.align_band)
+        else:
+            moves = sg_align_batch(sub_pairs, sub_opens, band=cfg.align_band)
+            fresh = []
+            for si, pi in enumerate(todo):
+                _, _, row, rrow = meta[pi]
+                mv = match_vector(moves[si], store.seq_b[row], store.seq_b[rrow])
+                fresh.append(block_aligned_stats(
+                    mv, cfg.k, match_ids[pi],
+                    store.seq_b[row].size, store.seq_b[rrow].size))
+        for si, pi in enumerate(todo):
+            _, _, row, rrow = meta[pi]
+            cache[(row, rrow)] = fresh[si]
+    stats = [cache[(meta[pi][2], meta[pi][3])] for pi in range(len(meta))]
     winners: Dict[int, int] = {}
     # group by wave_idx preserving candidate order
     per_read: Dict[int, List[Tuple[int, int]]] = {}
@@ -446,6 +462,7 @@ def reads_to_clusters(
     # skipped reads are already representatives inside carried_db
     alive: List[int] = [int(store.ids[r]) for r in skipped_rows]
 
+    aln_cache: Dict[Tuple[int, int], Tuple[float, float]] = {}
     wave_size = max(1, cfg.wave_size)
     to_process = rows[process_mask]
     n = to_process.size
@@ -472,7 +489,7 @@ def reads_to_clusters(
                 for wi in range(len(spec))
                 if spec[wi][0] < 0 and spec[wi][2]
             ]
-            aln_winners = _run_alignments(store, aln_requests, cfg)
+            aln_winners = _run_alignments(store, aln_requests, cfg, aln_cache)
 
             new_codes: set = set()
             break_at = len(pending)
