@@ -43,6 +43,8 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
                PairResult* res) {
     const int m = len2, n = len1;
     std::vector<int32_t> H(m + 1), Hn(m + 1, NEG_INF), F(m + 1, NEG_INF);
+    std::vector<int32_t> hne(m + 1), diag_row(m + 1), E_row(m + 1);
+    std::vector<uint8_t> fopen_row(m + 1), eopen_row(m + 1);
     for (int j = 0; j <= m; ++j) H[j] = 0;  // free leading gaps
 
     int32_t col_best = H[m], col_best_i = 0;   // last column j == len2
@@ -69,26 +71,46 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
             if (j_lo > 1) Hn[j_lo - 1] = NEG_INF;
         }
         Hn[0] = 0;
-        int32_t e = NEG_INF;
         uint8_t* prow = packed + (size_t)i * packed_stride;
+        // Split the row into SIMD-friendly passes.  The left-gap state E can
+        // source from h_no_e = max(diag, F) instead of the final H (classic
+        // Gotoh dominance, exact for gap_open > gap_ext, which all callers
+        // satisfy: open tiers 2-5 vs ext 1), which removes the only
+        // loop-carried dependence except a 1-op running max.
+        // pass 1 (vectorizable): F update + diag + h_no_e
         for (int j = j_lo; j <= j_hi; ++j) {
             int32_t f_open = H[j] - gap_open;
             int32_t f_ext = F[j] - gap_ext;
-            bool fopen = f_open >= f_ext;
-            int32_t f = fopen ? f_open : f_ext;
+            int32_t f = f_open >= f_ext ? f_open : f_ext;
+            fopen_row[j] = f_open >= f_ext;
             F[j] = f;
-            int32_t e_open = Hn[j - 1] - gap_open;
-            int32_t e_ext = e - gap_ext;
-            bool eopen = e_open >= e_ext;
-            e = eopen ? e_open : e_ext;
             int32_t sub = (s2[j - 1] == c1) ? match : mismatch;
             int32_t diag = H[j - 1] + sub;
-            int32_t h = diag;
-            uint8_t mv = MV_DIAG;
-            if (f > h) { h = f; mv = MV_UP; }
-            if (e > h) { h = e; mv = MV_LEFT; }
-            Hn[j] = h;
-            prow[j - 1] = (uint8_t)(mv | (eopen ? 4 : 0) | (fopen ? 8 : 0));
+            diag_row[j] = diag;
+            hne[j] = diag > f ? diag : f;
+        }
+        // pass 2 (scalar, 1 compare/cell): running max T[j] over
+        // g[j] = h_no_e[j-1] - open + j*ext; E[j] = T[j] - j*ext
+        {
+            int64_t T = NEG_INF;
+            int32_t prev_hne = (j_lo == 1) ? 0 : NEG_INF;  // H[i][j_lo-1]
+            for (int j = j_lo; j <= j_hi; ++j) {
+                int64_t g = (int64_t)prev_hne - gap_open + (int64_t)j * gap_ext;
+                eopen_row[j] = g >= T;
+                T = g >= T ? g : T;
+                E_row[j] = (int32_t)(T - (int64_t)j * gap_ext);
+                prev_hne = hne[j];
+            }
+        }
+        // pass 3 (vectorizable): final H, move byte
+        for (int j = j_lo; j <= j_hi; ++j) {
+            int32_t h = hne[j];
+            int32_t e = E_row[j];
+            uint8_t mv = e > h ? MV_LEFT
+                       : (F[j] > diag_row[j] ? MV_UP : MV_DIAG);
+            Hn[j] = e > h ? e : h;
+            prow[j - 1] = (uint8_t)(mv | (eopen_row[j] ? 4 : 0)
+                                       | (fopen_row[j] ? 8 : 0));
         }
         std::swap(H, Hn);
         if (H[m] >= col_best) { col_best = H[m]; col_best_i = i; }
