@@ -44,7 +44,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import Config
-from ..ops.align import block_aligned_stats, match_vector, sg_align_batch
+from ..ops.align import block_stats_batch
 from .store import ReadStore
 
 logger = logging.getLogger(__name__)
@@ -389,22 +389,12 @@ def _run_alignments(
         sub_pairs = [pairs[pi] for pi in todo]
         sub_opens = [gap_opens[pi] for pi in todo]
         sub_mids = [match_ids[pi] for pi in todo]
-        from .. import native
-        if native.available():
-            # stats-only fast path: the fallback decision consumes two
-            # ratios per pair, so DP + traceback + counting stay in C
-            fresh = native.block_stats_native(
-                sub_pairs, sub_opens, [cfg.k] * len(sub_pairs), sub_mids,
-                band=cfg.align_band)
-        else:
-            moves = sg_align_batch(sub_pairs, sub_opens, band=cfg.align_band)
-            fresh = []
-            for si, pi in enumerate(todo):
-                _, _, row, rrow = meta[pi]
-                mv = match_vector(moves[si], store.seq_b[row], store.seq_b[rrow])
-                fresh.append(block_aligned_stats(
-                    mv, cfg.k, match_ids[pi],
-                    store.seq_b[row].size, store.seq_b[rrow].size))
+        # stats-only fast path: the fallback decision consumes two ratios
+        # per pair, so DP + traceback + counting stay in the backend
+        # (native C / Pallas TPU kernel / host mirror)
+        fresh = block_stats_batch(
+            sub_pairs, sub_opens, [cfg.k] * len(sub_pairs), sub_mids,
+            band=cfg.align_band)
         for si, pi in enumerate(todo):
             _, _, row, rrow = meta[pi]
             cache[(row, rrow)] = fresh[si]

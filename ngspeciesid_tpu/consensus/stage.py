@@ -29,7 +29,7 @@ import numpy as np
 
 from ..config import Config
 from ..io.fastx import mkdir_p, read_fastx
-from ..ops.align import sg_align_batch, identity_from_moves
+from ..ops.align import identity_batch
 from ..ops.edit import infix_search
 from ..ops.poa import msa_consensus_batch, polish_round
 from ..utils.seqs import (
@@ -189,13 +189,7 @@ def detect_reverse_complements(centers: List[List], rc_identity_threshold: float
             s2 = seq_bytes(seq2)
             pairs.append((s1, s2))
             pairs.append((s1, reverse_complement_bytes(s2)))
-        from .. import native
-        if native.available():
-            idents = native.identity_native(pairs, [3] * len(pairs), band=band)
-        else:
-            moves = sg_align_batch(pairs, [3] * len(pairs), band=band)
-            idents = [identity_from_moves(moves[t], s1, pairs[t][1])
-                      for t in range(len(pairs))]
+        idents = identity_batch(pairs, [3] * len(pairs), band=band)
         for j, (nr2, c_id2, seq2, rp2) in enumerate(later):
             ident_fw = idents[2 * j]
             ident_rc = idents[2 * j + 1]

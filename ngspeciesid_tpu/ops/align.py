@@ -30,7 +30,8 @@ reference's parasail_16 overflow fallback, cluster.py:133-136, is subsumed).
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+import os
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -468,3 +469,73 @@ def sg_align_numpy(
     """Single-pair host path returning alignment moves (oracle-grade)."""
     score, packed, end = sg_dp_numpy(s1, s2, match, mismatch, gap_open, gap_ext)
     return traceback_moves(packed, s1.size, s2.size, end)
+
+
+# ---------------------------------------------------------------------------
+# stats-only dispatch: the two statistics every consumer actually needs
+# ---------------------------------------------------------------------------
+
+def stats_backend_default() -> str:
+    """Pick the stats-only alignment backend.
+
+    ``NGSID_STATS_BACKEND`` overrides (native | pallas | host).  Otherwise:
+    the native C++ engine when a compiler produced it, else the Pallas
+    stats kernel on TPU (only per-pair scalars leave the device), else the
+    host traceback mirror."""
+    env = os.environ.get("NGSID_STATS_BACKEND", "").strip().lower()
+    if env:
+        return env
+    from .. import native
+    if native.available():
+        return "native"
+    if _device_is_tpu():
+        return "pallas"
+    return "host"
+
+
+def block_stats_batch(
+    pairs: List[Tuple[np.ndarray, np.ndarray]],
+    gap_opens: List[int], ks: List[int], match_ids: List[int],
+    band: int = 0, backend: Optional[str] = None,
+) -> List[Tuple[float, float]]:
+    """Per-pair (aligned_ratio_s1, aligned_ratio_s2) of the reference's
+    rolling-k-window fallback statistic (cluster.py:144-168), via the
+    fastest available backend.  The Pallas backend runs the full (unbanded)
+    DP — exact; `band` only narrows the native engine."""
+    if not pairs:
+        return []
+    backend = backend or stats_backend_default()
+    if backend == "native":
+        from .. import native
+        return native.block_stats_native(pairs, gap_opens, ks, match_ids,
+                                         band=band)
+    if backend == "pallas":
+        from .align_stats_pallas import block_stats_pallas
+        return block_stats_pallas(pairs, gap_opens, ks, match_ids)
+    moves = sg_align_batch(pairs, gap_opens, band=band)
+    out = []
+    for t, (a, b) in enumerate(pairs):
+        mv = match_vector(moves[t], a, b)
+        out.append(block_aligned_stats(mv, ks[t], match_ids[t], a.size, b.size))
+    return out
+
+
+def identity_batch(
+    pairs: List[Tuple[np.ndarray, np.ndarray]],
+    gap_opens: List[int],
+    band: int = 0, backend: Optional[str] = None,
+) -> List[float]:
+    """Per-pair column identity (consensus.py:129-145), via the fastest
+    available backend."""
+    if not pairs:
+        return []
+    backend = backend or stats_backend_default()
+    if backend == "native":
+        from .. import native
+        return native.identity_native(pairs, gap_opens, band=band)
+    if backend == "pallas":
+        from .align_stats_pallas import identity_pallas
+        return identity_pallas(pairs, gap_opens)
+    moves = sg_align_batch(pairs, gap_opens, band=band)
+    return [identity_from_moves(moves[t], a, b)
+            for t, (a, b) in enumerate(pairs)]

@@ -1,0 +1,129 @@
+"""Parity tests for the stats-only Pallas kernel (interpret mode on CPU).
+
+The kernel must reproduce, bit-for-bit, the statistics the host pipeline
+computes from a full traceback: match_vector + block_aligned_stats
+(reference cluster.py:144-168) and identity_from_moves
+(reference consensus.py:129-145) over the alignment of ops/align.py.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from ngspeciesid_tpu.ops.align import (
+    block_aligned_stats,
+    identity_from_moves,
+    match_vector,
+    sg_align_numpy,
+)
+from ngspeciesid_tpu.ops.align_stats_pallas import (
+    block_stats_pallas,
+    identity_pallas,
+    sg_stats_batch_pallas,
+)
+
+
+def rand_seq(rng, n):
+    return rng.integers(65, 69, size=n).astype(np.uint8)
+
+
+def mutate(rng, s, rate):
+    out = []
+    for c in s:
+        r = rng.random()
+        if r < rate / 3:
+            continue
+        out.append(int(c))
+        if r < 2 * rate / 3:
+            out.append(int(rng.integers(65, 69)))
+    return np.array(out, dtype=np.uint8)
+
+
+def oracle(a, b, gap_open, k, match_id):
+    moves = sg_align_numpy(a, b, gap_open)
+    mv = match_vector(moves, a, b)
+    r1, r2 = block_aligned_stats(mv, k, match_id, a.size, b.size)
+    ident = identity_from_moves(moves, a, b)
+    return r1, r2, ident
+
+
+class TestStatsKernelParity:
+    def test_random_pairs(self, rng):
+        pairs, opens, ks, mids = [], [], [], []
+        for _ in range(16):
+            pairs.append((rand_seq(rng, int(rng.integers(8, 90))),
+                          rand_seq(rng, int(rng.integers(8, 90)))))
+            opens.append(int(rng.choice([2, 3, 5])))
+            ks.append(int(rng.integers(5, 21)))
+            mids.append(int(rng.integers(1, ks[-1] + 1)))
+        got = sg_stats_batch_pallas(pairs, opens, ks, mids, interpret=True)
+        for i, (a, b) in enumerate(pairs):
+            want = oracle(a, b, opens[i], ks[i], mids[i])
+            assert got[i] == pytest.approx(want, abs=0.0), (i, got[i], want)
+
+    def test_related_pairs(self, rng):
+        # realistic case: mutated copies, the fallback's parameterization
+        pairs, opens, ks, mids = [], [], [], []
+        k = 13
+        for _ in range(12):
+            a = rand_seq(rng, int(rng.integers(60, 200)))
+            b = mutate(rng, a, 0.12)
+            if b.size < 5:
+                b = rand_seq(rng, 20)
+            pairs.append((a, b))
+            ers = 0.06 + rng.random() * 0.1
+            opens.append(2 if ers > 0.1 else 3)
+            ks.append(k)
+            mids.append(math.floor((1.0 - ers) * k))
+        got = sg_stats_batch_pallas(pairs, opens, ks, mids, interpret=True)
+        for i, (a, b) in enumerate(pairs):
+            want = oracle(a, b, opens[i], ks[i], mids[i])
+            assert got[i] == pytest.approx(want, abs=0.0), (i, got[i], want)
+
+    def test_terminal_gap_windows(self, rng):
+        # long unaligned suffixes/prefixes: the host tail fold must count
+        # windows that straddle the aligned core and trailing gap columns
+        a = rand_seq(rng, 150)
+        core = a[40:90].copy()
+        b = np.concatenate([rand_seq(rng, 30), core, rand_seq(rng, 60)])
+        pairs = [(a, b), (b, a)]
+        opens, ks, mids = [3, 3], [13, 13], [11, 11]
+        got = sg_stats_batch_pallas(pairs, opens, ks, mids, interpret=True)
+        for i, (s1, s2) in enumerate(pairs):
+            want = oracle(s1, s2, opens[i], ks[i], mids[i])
+            assert got[i] == pytest.approx(want, abs=0.0)
+
+    def test_negative_match_id(self, rng):
+        # err_sum > 1 makes match_id <= 0: every window passes, including
+        # all-gap windows in leading/trailing terminal gaps
+        a = rand_seq(rng, 12)
+        b = rand_seq(rng, 120)
+        got = sg_stats_batch_pallas([(a, b)], [2], [13], [-3], interpret=True)
+        want = oracle(a, b, 2, 13, -3)
+        assert got[0] == pytest.approx(want, abs=0.0)
+
+    def test_short_alignment_below_k(self, rng):
+        # total columns < k: ratios are defined as 0 (cluster.py:146)
+        a = rand_seq(rng, 5)
+        b = rand_seq(rng, 6)
+        got = sg_stats_batch_pallas([(a, b)], [5], [20], [10], interpret=True)
+        want = oracle(a, b, 5, 20, 10)
+        assert got[0] == pytest.approx(want, abs=0.0)
+        assert got[0][0] == 0.0 and got[0][1] == 0.0
+
+    def test_identity_wrapper(self, rng):
+        pairs = [(rand_seq(rng, 80), rand_seq(rng, 70)) for _ in range(5)]
+        got = identity_pallas(pairs, [3] * 5, interpret=True)
+        for i, (a, b) in enumerate(pairs):
+            moves = sg_align_numpy(a, b, 3)
+            assert got[i] == pytest.approx(identity_from_moves(moves, a, b), abs=0.0)
+
+    def test_block_stats_wrapper(self, rng):
+        pairs = [(rand_seq(rng, 80), mutate(rng, rand_seq(rng, 80), 0.1))
+                 for _ in range(4)]
+        got = block_stats_pallas(pairs, [4] * 4, [13] * 4, [11] * 4,
+                                 interpret=True)
+        for i, (a, b) in enumerate(pairs):
+            r1, r2, _ = oracle(a, b, 4, 13, 11)
+            assert got[i] == pytest.approx((r1, r2), abs=0.0)

@@ -4,7 +4,11 @@ import numpy as np
 import pytest
 
 from ngspeciesid_tpu import native
-from ngspeciesid_tpu.ops.align import sg_align_batch
+from ngspeciesid_tpu.ops.align import (
+    block_stats_batch,
+    identity_batch,
+    sg_align_batch,
+)
 
 pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="no C++ toolchain for the native engine")
@@ -55,3 +59,40 @@ class TestNativeParity:
         got = sg_align_batch(pairs, [3])          # auto -> native on host
         want = sg_align_batch(pairs, [3], backend="numpy")
         assert got[0].tolist() == want[0].tolist()
+
+
+class TestStatsDispatchParity:
+    """block_stats_batch / identity_batch must agree across backends."""
+
+    def _pairs(self, rng):
+        pairs, opens, ks, mids = [], [], [], []
+        for _ in range(12):
+            a = rand_seq(rng, int(rng.integers(40, 150)))
+            b = mutate(rng, a, 0.1)
+            if b.size < 5:
+                b = rand_seq(rng, 20)
+            pairs.append((a, b))
+            opens.append(int(rng.choice([2, 3, 5])))
+            ks.append(13)
+            mids.append(int(rng.integers(1, 14)))
+        return pairs, opens, ks, mids
+
+    def test_block_stats_native_vs_host(self, rng):
+        pairs, opens, ks, mids = self._pairs(rng)
+        got = block_stats_batch(pairs, opens, ks, mids, backend="native")
+        want = block_stats_batch(pairs, opens, ks, mids, backend="host")
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w, abs=0.0)
+
+    def test_identity_native_vs_host(self, rng):
+        pairs, opens, _, _ = self._pairs(rng)
+        got = identity_batch(pairs, opens, backend="native")
+        want = identity_batch(pairs, opens, backend="host")
+        assert got == pytest.approx(want, abs=0.0)
+
+    def test_env_override(self, rng, monkeypatch):
+        from ngspeciesid_tpu.ops import align as align_mod
+        monkeypatch.setenv("NGSID_STATS_BACKEND", "host")
+        assert align_mod.stats_backend_default() == "host"
+        monkeypatch.delenv("NGSID_STATS_BACKEND")
+        assert align_mod.stats_backend_default() in ("native", "pallas", "host")
