@@ -66,7 +66,16 @@ def cluster_read_array(
     store = build_store(read_array, cfg.k, cfg.w)
     max_gap = max((c.size for c in store.min_codes), default=1)
     gap_table = GapPassTable(p_matrix, cfg.min_prob_no_hits, max_gap)
-    if cfg.nr_cores > 1:
+    if os.environ.get("NGSID_DISTRIBUTED") == "1":
+        # multi-host deployment: shards owned by jax.distributed processes,
+        # per-round results exchanged via all-gather (parallel/dist.py);
+        # result is replicated so every rank can write its own outputs.
+        import jax
+        from .parallel.dist import JaxComm, LocalComm, distributed_clustering
+        comm = JaxComm() if jax.process_count() > 1 else LocalComm()
+        clusters, alive = distributed_clustering(
+            store, read_array, gap_table, cfg, comm)
+    elif cfg.nr_cores > 1:
         from .parallel.merge import merge_tree_clustering
         clusters, alive = merge_tree_clustering(store, read_array, gap_table, cfg)
     else:

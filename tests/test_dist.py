@@ -1,0 +1,133 @@
+"""Distributed clustering driver: rank-sharded merge tree over collectives.
+
+Differential contract: P ThreadComm ranks (the in-process stand-in for
+jax.distributed hosts — same driver code, thread-barrier transport) must
+produce exactly the clustering of the single-host merge tree at nr_cores=P,
+and the result must be identically replicated on every rank.
+"""
+
+import tempfile
+import threading
+
+import numpy as np
+import pytest
+
+from ngspeciesid_tpu.cluster.engine import GapPassTable
+from ngspeciesid_tpu.cluster.store import build_store
+from ngspeciesid_tpu.config import Config
+from ngspeciesid_tpu.parallel.dist import (
+    LocalComm,
+    ThreadWorld,
+    _decode_results,
+    _encode_results,
+    distributed_clustering,
+)
+from ngspeciesid_tpu.parallel.merge import merge_tree_clustering
+from ngspeciesid_tpu.utils.ptable import load_p_table, p_table_as_matrix
+
+from .test_cluster_engine import simulate_reads, to_read_array
+
+
+def _gap_table(store, cfg):
+    p_matrix = p_table_as_matrix(load_p_table(cfg.k, cfg.w))
+    max_gap = max((c.size for c in store.min_codes), default=1)
+    return GapPassTable(p_matrix, cfg.min_prob_no_hits, max_gap)
+
+
+def _run_distributed(read_array, cfg_kwargs, n_ranks):
+    """Run the driver on n_ranks threads, each with its own store (hosts do
+    not share memory); returns the per-rank results."""
+    world = ThreadWorld(n_ranks)
+    results = [None] * n_ranks
+    errors = []
+
+    def worker(rank):
+        try:
+            cfg = Config(**cfg_kwargs)
+            store = build_store(read_array, cfg.k, cfg.w)
+            gap_table = _gap_table(store, cfg)
+            results[rank] = distributed_clustering(
+                store, read_array, gap_table, cfg, world.comm(rank),
+                write_intermediate=False,
+            )
+        except BaseException as e:  # surface into the main thread
+            errors.append(e)
+            world._barrier.abort()
+
+    threads = [threading.Thread(target=worker, args=(r,)) for r in range(n_ranks)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return results
+
+
+def _run_merge_tree(read_array, cfg_kwargs):
+    cfg = Config(**cfg_kwargs)
+    cfg.outfolder = tempfile.mkdtemp()
+    store = build_store(read_array, cfg.k, cfg.w)
+    gap_table = _gap_table(store, cfg)
+    return merge_tree_clustering(store, read_array, gap_table, cfg)
+
+
+class TestCodec:
+    def test_roundtrip(self):
+        results = {
+            0: ({7: [7, 3, 9], 11: [11]}, [7, 11]),
+            3: ({}, []),
+            5: ({2: [2]}, [2]),
+        }
+        flat = _encode_results(results)
+        assert flat.dtype == np.int64
+        assert _decode_results(flat) == results
+
+    def test_empty(self):
+        assert _decode_results(_encode_results({})) == {}
+
+
+class TestDistributedEqualsMergeTree:
+    @pytest.mark.parametrize("n_ranks", [2, 4])
+    def test_matches_single_host_merge_tree(self, rng, n_ranks):
+        records = simulate_reads(rng, n_templates=3, reads_per=14, err=0.08)
+        read_array = to_read_array(records)
+        kwargs = dict(nr_cores=n_ranks, outfolder=None)
+        want_clusters, want_alive = _run_merge_tree(read_array, kwargs)
+        got = _run_distributed(read_array, kwargs, n_ranks)
+        for clusters, alive in got:
+            assert clusters == want_clusters
+            assert alive == want_alive
+
+    def test_replicated_across_ranks(self, rng):
+        records = simulate_reads(rng, n_templates=2, reads_per=10, err=0.1)
+        read_array = to_read_array(records)
+        got = _run_distributed(read_array, dict(nr_cores=3, outfolder=None), 3)
+        for r in got[1:]:
+            assert r == got[0]
+
+    def test_more_ranks_than_meaningful_shards(self, rng):
+        # tiny input: batch_list may yield fewer shards than ranks; idle
+        # ranks must still participate in the collectives and agree
+        records = simulate_reads(rng, n_templates=1, reads_per=5)
+        read_array = to_read_array(records)
+        kwargs = dict(nr_cores=4, outfolder=None)
+        want_clusters, want_alive = _run_merge_tree(read_array, kwargs)
+        got = _run_distributed(read_array, kwargs, 4)
+        for clusters, alive in got:
+            assert clusters == want_clusters
+            assert alive == want_alive
+
+    def test_single_rank_localcomm(self, rng):
+        # LocalComm degenerates to the merge tree without any exchange
+        records = simulate_reads(rng, n_templates=2, reads_per=8)
+        read_array = to_read_array(records)
+        kwargs = dict(nr_cores=1, outfolder=None)
+        cfg = Config(**kwargs)
+        store = build_store(read_array, cfg.k, cfg.w)
+        gap_table = _gap_table(store, cfg)
+        got = distributed_clustering(
+            store, read_array, gap_table, cfg, LocalComm(),
+            write_intermediate=False)
+        want = _run_merge_tree(read_array, kwargs)
+        assert got == want
