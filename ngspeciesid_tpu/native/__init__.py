@@ -84,6 +84,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double),
         ]
         lib.sg_identity_native.restype = None
+        lib.sg_pileup_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.sg_pileup_native.restype = None
         _lib = lib
         return _lib
 
@@ -173,6 +186,67 @@ def block_stats_native(
         p(ratios, ctypes.c_double),
     )
     return [(ratios[2 * i], ratios[2 * i + 1]) for i in range(B)]
+
+
+def pileup_native(
+    center: np.ndarray,
+    reads: List[np.ndarray],
+    weights: Optional[List[np.ndarray]],
+    match: int, mismatch: int, gap_open: int, gap_ext: int, band: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fused DP + pileup accumulation for one center (the polish hot loop).
+
+    Returns (votes (L,5), qvotes (L,5), coverage (L+1), ev_pos, ev_w,
+    ev_len, ev_bytes) where the ev_* arrays are insertion events in read
+    order: ev_bytes holds the inserted base runs back-to-back (offsets =
+    cumulative ev_len).  Accumulation is sequential in read order inside
+    the engine, so floats are bit-identical to the Python walk."""
+    lib = get_lib()
+    assert lib is not None
+    L = center.size
+    B = len(reads)
+    rstride = max((r.size for r in reads), default=1)
+    rb = np.zeros((B, rstride), dtype=np.uint8)
+    rlen = np.empty(B, dtype=np.int32)
+    for i, r in enumerate(reads):
+        rb[i, : r.size] = r
+        rlen[i] = r.size
+    has_w = weights is not None
+    wb = np.zeros((B, rstride), dtype=np.float64)
+    if has_w:
+        for i, w in enumerate(weights):
+            wb[i, : w.size] = w
+    votes = np.zeros((L, 5), dtype=np.float64)
+    qvotes = np.zeros((L, 5), dtype=np.float64)
+    coverage = np.zeros(L + 1, dtype=np.float64)
+    ev_cap = max(1, int(rlen.sum()))
+    ev_pos = np.empty(ev_cap, dtype=np.int32)
+    ev_w = np.empty(ev_cap, dtype=np.float64)
+    ev_len = np.empty(ev_cap, dtype=np.int32)
+    ev_bytes = np.empty(ev_cap, dtype=np.uint8)
+    n_ev = np.zeros(1, dtype=np.int64)
+    n_ev_bytes = np.zeros(1, dtype=np.int64)
+
+    def p(arr, typ):
+        return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+    center = np.ascontiguousarray(center, dtype=np.uint8)
+    lib.sg_pileup_native(
+        p(center, ctypes.c_uint8), L,
+        p(rb, ctypes.c_uint8), p(rlen, ctypes.c_int32), B, rstride,
+        p(wb, ctypes.c_double), int(has_w),
+        match, mismatch, gap_open, gap_ext, band,
+        p(votes, ctypes.c_double), p(qvotes, ctypes.c_double),
+        p(coverage, ctypes.c_double),
+        p(ev_pos, ctypes.c_int32), p(ev_w, ctypes.c_double),
+        p(ev_len, ctypes.c_int32), p(ev_bytes, ctypes.c_uint8),
+        p(n_ev, ctypes.c_int64), p(n_ev_bytes, ctypes.c_int64),
+    )
+    ne = int(n_ev[0])
+    nb = int(n_ev_bytes[0])
+    return (votes, qvotes, coverage,
+            ev_pos[:ne], ev_w[:ne], ev_len[:ne], ev_bytes[:nb])
 
 
 def identity_native(

@@ -272,4 +272,107 @@ void sg_identity_native(
     }
 }
 
+// Pileup accumulation for one center (ops/poa.py::pileup_stats, the polish
+// hot loop): align every read to the fixed center (parallel DP), then walk
+// the alignment cores sequentially IN READ ORDER accumulating unit votes,
+// weight votes, slot coverage, and insertion events.  The sequential
+// accumulation reproduces the Python walk's float-addition order exactly,
+// so outputs are bit-identical; insertion runs are exported as flat events
+// (position, summed weight / run length, bytes) for the host to fold into
+// its per-slot dictionaries (events are ~the indel rate, far smaller than
+// the move stream).
+//
+//   votes, qvotes: L x 5 doubles (A C G T gap); coverage: L+1 doubles
+//   ev_pos/ev_w/ev_len + ev_bytes: caller-allocated, capacity = total read
+//   bytes (every event consumes >= 1 read base); counts returned via n_ev /
+//   n_ev_bytes.
+void sg_pileup_native(
+    const uint8_t* center, int L,
+    const uint8_t* reads, const int32_t* read_len, int B, int rstride,
+    const double* weights, int has_weights,
+    int match, int mismatch, int gap_open, int gap_ext, int band_hw,
+    double* votes, double* qvotes, double* coverage,
+    int32_t* ev_pos, double* ev_w, int32_t* ev_len, uint8_t* ev_bytes,
+    int64_t* n_ev, int64_t* n_ev_bytes) {
+    std::vector<uint8_t> moves((size_t)B * (L + rstride));
+    std::vector<int32_t> mlen(B);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int b = 0; b < B; ++b) {
+        int m = read_len[b];
+        std::vector<uint8_t> packed((size_t)(L + 1) * m);
+        PairResult res;
+        dp_single(center, reads + (size_t)b * rstride, L, m, gap_open,
+                  match, mismatch, gap_ext, band_hw, packed.data(), m, &res);
+        mlen[b] = traceback(packed.data(), m, L, m, res.end_i, res.end_j,
+                            moves.data() + (size_t)b * (L + rstride));
+    }
+
+    int8_t base_col[256];
+    std::memset(base_col, -1, sizeof(base_col));
+    base_col['A'] = 0; base_col['C'] = 1; base_col['G'] = 2; base_col['T'] = 3;
+    constexpr int GAP = 4;
+
+    int64_t ne = 0, nb = 0;
+    for (int b = 0; b < B; ++b) {
+        const uint8_t* mv = moves.data() + (size_t)b * (L + rstride);
+        const uint8_t* read = reads + (size_t)b * rstride;
+        const double* w = has_weights ? weights + (size_t)b * rstride : nullptr;
+        int len = mlen[b];
+        // trim to aligned core (ops/poa.py::trim_to_aligned)
+        int lo = 0, hi = len;
+        while (lo < len && mv[lo] != MV_DIAG) ++lo;
+        if (lo == len) continue;  // no diagonal column: read does not vote
+        while (mv[hi - 1] != MV_DIAG) --hi;
+        int ci = 0, ri = 0;
+        for (int t = 0; t < lo; ++t) {
+            if (mv[t] == MV_UP) ++ci;
+            else if (mv[t] == MV_LEFT) ++ri;
+        }
+        int span_lo = ci;
+        int pend_len = 0;
+        double pend_w = 0.0;
+        for (int t = lo; t < hi; ++t) {
+            uint8_t op = mv[t];
+            if (op == MV_LEFT) {
+                ev_bytes[nb++] = read[ri];
+                ++pend_len;
+                pend_w += w ? w[ri] : 1.0;
+                ++ri;
+                continue;
+            }
+            if (pend_len) {
+                ev_pos[ne] = ci;
+                ev_w[ne] = pend_w / pend_len;
+                ev_len[ne] = pend_len;
+                ++ne;
+                pend_len = 0;
+                pend_w = 0.0;
+            }
+            if (op == MV_DIAG) {
+                int8_t c = base_col[read[ri]];
+                if (c >= 0) {
+                    votes[(size_t)ci * 5 + c] += 1.0;
+                    qvotes[(size_t)ci * 5 + c] += w ? w[ri] : 1.0;
+                }
+                ++ci; ++ri;
+            } else {  // MV_UP: deletion in the read
+                votes[(size_t)ci * 5 + GAP] += 1.0;
+                qvotes[(size_t)ci * 5 + GAP] += 1.0;
+                ++ci;
+            }
+        }
+        if (pend_len) {
+            ev_pos[ne] = ci;
+            ev_w[ne] = pend_w / pend_len;
+            ev_len[ne] = pend_len;
+            ++ne;
+        }
+        for (int p = span_lo; p <= ci; ++p) coverage[p] += 1.0;
+    }
+    *n_ev = ne;
+    *n_ev_bytes = nb;
+}
+
 }  // extern "C"

@@ -27,6 +27,7 @@ rates.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -224,6 +225,39 @@ class PileupStats:
         self.ins_open = np.zeros(L + 1, dtype=np.float64)
 
 
+def _pileup_stats_native(
+    center: np.ndarray,
+    reads: Sequence[np.ndarray],
+    quals: Optional[Sequence[np.ndarray]],
+) -> PileupStats:
+    """Fused DP + accumulation in the C engine; only insertion events (the
+    indel-rate-sized tail) fold into dicts on the host.  Bit-identical to
+    the Python walk (sequential read-order accumulation inside the engine;
+    parity-tested in tests/test_poa.py)."""
+    from .. import native
+
+    st = PileupStats(center.size)
+    weights = (
+        [(1.0 - PHRED_TO_P_CAPPED[q]) for q in quals] if quals is not None else None
+    )
+    votes, qvotes, coverage, ev_pos, ev_w, ev_len, ev_bytes = native.pileup_native(
+        center, list(reads), weights,
+        POA_MATCH, POA_MISMATCH, POA_OPEN, POA_EXT, POA_BAND,
+    )
+    st.votes, st.qvotes, st.coverage = votes, qvotes, coverage
+    off = 0
+    ins_votes, ins_open = st.ins_votes, st.ins_open
+    eb = ev_bytes.tobytes()
+    for e in range(ev_pos.size):
+        ln = int(ev_len[e])
+        d = ins_votes[int(ev_pos[e])]
+        key = eb[off : off + ln]
+        d[key] = d.get(key, 0.0) + float(ev_w[e])
+        ins_open[int(ev_pos[e])] += 1.0
+        off += ln
+    return st
+
+
 def pileup_stats(
     center: np.ndarray,
     reads: Sequence[np.ndarray],
@@ -235,6 +269,10 @@ def pileup_stats(
     st = PileupStats(L)
     if not reads or L == 0:
         return st
+    if os.environ.get("NGSID_PILEUP") != "python":
+        from .. import native
+        if native.available():
+            return _pileup_stats_native(center, reads, quals)
     pairs = [(center, r) for r in reads]
     moves_all = sg_align_batch(pairs, [POA_OPEN] * len(pairs),
                                match=POA_MATCH, mismatch=POA_MISMATCH,

@@ -100,3 +100,46 @@ class TestPolish:
         for _ in range(2):
             c = polish_round(c, reads, quals)
         assert edit_distance(c, t) <= 1
+
+
+class TestPileupNativeParity:
+    """The fused C pileup accumulator must be bit-identical to the Python
+    move-walk (same DP, same float-addition order)."""
+
+    def _case(self, rng, depth=40, err=0.12, with_quals=True):
+        t = make_template(rng, 500)
+        draft, _ = noisy_copy(rng, t, 0.03)  # slightly wrong center
+        reads, quals = [], []
+        for _ in range(depth):
+            r, q = noisy_copy(rng, t, err)
+            reads.append(r)
+            quals.append(q)
+        return draft, reads, (quals if with_quals else None)
+
+    @pytest.mark.parametrize("with_quals", [True, False])
+    def test_stats_bit_identical(self, rng, with_quals, monkeypatch):
+        from ngspeciesid_tpu import native
+        from ngspeciesid_tpu.ops.poa import pileup_stats
+
+        if not native.available():
+            pytest.skip("no native engine")
+        draft, reads, quals = self._case(rng, with_quals=with_quals)
+        got = pileup_stats(draft, reads, quals)
+        monkeypatch.setenv("NGSID_PILEUP", "python")
+        want = pileup_stats(draft, reads, quals)
+        assert np.array_equal(got.votes, want.votes)
+        assert np.array_equal(got.qvotes, want.qvotes)
+        assert np.array_equal(got.coverage, want.coverage)
+        assert np.array_equal(got.ins_open, want.ins_open)
+        assert got.ins_votes == want.ins_votes
+
+    def test_polish_round_identical(self, rng, monkeypatch):
+        from ngspeciesid_tpu import native
+
+        if not native.available():
+            pytest.skip("no native engine")
+        draft, reads, quals = self._case(rng, depth=60)
+        got = polish_round(draft, reads, quals)
+        monkeypatch.setenv("NGSID_PILEUP", "python")
+        want = polish_round(draft, reads, quals)
+        assert got.tolist() == want.tolist()
