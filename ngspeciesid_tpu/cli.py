@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Alignment DP band half-width (0 = full DP, reference-exact)")
     parser.add_argument("--seed", type=int, default=0,
                         help="RNG seed for --sample_size subsampling")
+    parser.add_argument("--resume", action="store_true",
+                        help="Reuse content-addressed stage artifacts (sorted reads, "
+                             "clustering) when inputs and parameters are unchanged")
     parser.set_defaults(which="main")
 
     subparsers = parser.add_subparsers(help="sub-command help")
@@ -140,6 +143,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
         wave_size=args.wave_size,
         seed=args.seed,
         align_band=args.align_band,
+        resume=args.resume,
     )
     cfg.apply_preset(ont=args.ont, isoseq=args.isoseq)
     return cfg

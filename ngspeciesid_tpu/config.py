@@ -62,6 +62,7 @@ class Config:
     wave_size: int = 256              # reads scored per device wave in clustering
     seed: int = 0                     # RNG seed for subsampling (reference is unseeded)
     align_band: int = 150             # DP band half-width (0 = full/reference-exact DP)
+    resume: bool = False              # content-addressed stage artifact reuse
 
     def apply_preset(self, ont: bool = False, isoseq: bool = False) -> None:
         """--ont / --isoseq k,w presets (reference NGSpeciesID:261-269)."""

@@ -13,7 +13,7 @@ import os
 import random
 import shutil
 import tempfile
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -57,10 +57,45 @@ def load_read_array(sorted_path: str, cfg: Config) -> ReadArray:
     return read_array
 
 
+def _cluster_stage_key(sorted_path: str, cfg: Config) -> str:
+    """Content key of the clustering stage: sorted-reads digest + every
+    parameter that can change cluster assignments (filters applied by
+    load_read_array included, since they select the clustered set)."""
+    from .artifacts import file_digest, stage_key
+
+    return stage_key(file_digest(sorted_path), {
+        "stage": "cluster", "k": cfg.k, "w": cfg.w,
+        "min_shared": cfg.min_shared,
+        "mapped_threshold": cfg.mapped_threshold,
+        "aligned_threshold": cfg.aligned_threshold,
+        "min_fraction": cfg.min_fraction,
+        "min_prob_no_hits": cfg.min_prob_no_hits,
+        "symmetric": cfg.symmetric_map_align_thresholds,
+        "align_band": cfg.align_band,
+        "target_length": cfg.target_length,
+        "target_deviation": cfg.target_deviation,
+        "sample_size": cfg.sample_size,
+        "top_reads": cfg.top_reads,
+        "seed": cfg.seed,
+    })
+
+
 def cluster_read_array(
-    read_array: ReadArray, cfg: Config
+    read_array: ReadArray, cfg: Config, sorted_path: Optional[str] = None
 ) -> Tuple[Dict[int, List[str]], ReadStore, List[int]]:
     """Stage 3: returns (clusters, store, surviving representative rows)."""
+    cache = key = None
+    if cfg.resume and sorted_path and cfg.outfolder:
+        from .artifacts import ArtifactCache, load_clusters
+
+        cache = ArtifactCache(cfg.outfolder)
+        key = _cluster_stage_key(sorted_path, cfg)
+        hit = cache.lookup("cluster", key)
+        if hit is not None:
+            logger.info("Resume: reusing clustering (inputs and parameters unchanged)")
+            clusters = load_clusters(hit[0])
+            store = build_store(read_array, cfg.k, cfg.w)
+            return clusters, store, list(clusters.keys())
     p_table = load_p_table(cfg.k, cfg.w)
     p_matrix = p_table_as_matrix(p_table)
     store = build_store(read_array, cfg.k, cfg.w)
@@ -83,6 +118,12 @@ def cluster_read_array(
         clusters, alive, _ = reads_to_clusters(
             store, clusters, np.arange(len(read_array)), gap_table, cfg
         )
+    if cache is not None:
+        from .artifacts import save_clusters
+
+        path = cache.path("clusters.json")
+        save_clusters(path, clusters)
+        cache.record("cluster", key, [path])
     return clusters, store, alive
 
 
@@ -130,7 +171,7 @@ def run(cfg: Config) -> None:
 
     logger.info("Starting Clustering: %d reads", len(read_array))
     t0 = time.time()
-    clusters, store, alive = cluster_read_array(read_array, cfg)
+    clusters, store, alive = cluster_read_array(read_array, cfg, sorted_path)
     logger.debug("Time elapsed clustering: %.2fs", time.time() - t0)
     nontrivial = write_cluster_tables(clusters, store, cfg)
     logger.info("Finished Clustering: %d clusters formed", nontrivial)

@@ -34,10 +34,29 @@ logger = logging.getLogger(__name__)
 _SCORE_BUCKET = 4096
 
 
+def _stage1_key(cfg: Config) -> str:
+    from .artifacts import file_digest, stage_key
+
+    return stage_key(file_digest(cfg.fastq), {
+        "stage": "sort", "k": cfg.k,
+        "quality_threshold": cfg.quality_threshold,
+    })
+
+
 def score_and_sort(cfg: Config) -> str:
     """Run stage 1; returns the path of the sorted fastq file."""
     outfile = os.path.join(cfg.outfolder, "sorted.fastq")
     logfile_path = os.path.join(cfg.outfolder, "logfile.txt")
+    cache = key = None
+    if cfg.resume:
+        from .artifacts import ArtifactCache
+
+        cache = ArtifactCache(cfg.outfolder)
+        key = _stage1_key(cfg)
+        hit = cache.lookup("sort", key)
+        if hit is not None and os.path.isfile(outfile):
+            logger.info("Resume: reusing sorted.fastq (input and parameters unchanged)")
+            return outfile
     # The reference truncates logfile.txt before the reuse check
     # (get_sorted_fastq_for_cluster.py:161-164); mirror that.
     logfile = open(logfile_path, "w")
@@ -110,4 +129,6 @@ def score_and_sort(cfg: Config) -> str:
         logfile.write("Mean read error rate:{0}\n".format(mean_e))
         logfile.write("\n")
     logfile.close()
+    if cache is not None:
+        cache.record("sort", key, [outfile])
     return outfile
