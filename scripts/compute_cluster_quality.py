@@ -2,9 +2,11 @@
 """Offline evaluation CLI: V-measure/ARI of inferred clusters vs truth.
 
 Counterpart of the reference's scripts/compute_cluster_quality.py (C17).
-Truth classes come from a TSV (``acc<TAB>class``) or, when pysam is
-available, from a BAM's reference names (--classes_bam, the reference's
---simulated mode).  Metrics are computed by ngspeciesid_tpu.eval.
+Truth classes come from a TSV (``acc<TAB>class``) or from a BAM via the
+pure-Python reader (ngspeciesid_tpu/io/bam.py): overlap-interval classes
+for real data (reference :27-93) or reference-name classes with
+--simulated (reference :96-101).  Metrics are computed by
+ngspeciesid_tpu.eval.
 
 Usage:
   python scripts/compute_cluster_quality.py --clusters final_clusters.tsv \
@@ -30,30 +32,29 @@ def read_classes_tsv(path):
     return out
 
 
-def read_classes_bam(path):
-    import pysam  # optional dependency
-
-    out = {}
-    with pysam.AlignmentFile(path, "rb") as bam:
-        for rec in bam.fetch(until_eof=True):
-            if not rec.is_unmapped and not rec.is_secondary:
-                out[rec.query_name] = hash(rec.reference_name)
-    return out
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clusters", required=True)
     group = ap.add_mutually_exclusive_group(required=True)
     group.add_argument("--classes", help="TSV acc<TAB>class")
-    group.add_argument("--classes_bam", help="truth BAM (ref-name classes)")
+    group.add_argument("--classes_bam", help="truth BAM (pure-Python reader)")
+    ap.add_argument("--simulated", action="store_true",
+                    help="BAM classes from reference names (reference's "
+                         "--simulated mode); default: overlap-interval classes")
     ap.add_argument("--min_class_size", type=int, default=0)
     ap.add_argument("--outfile", default=None)
     args = ap.parse_args()
 
     clusters = read_clusters_tsv(args.clusters)
-    classes = (read_classes_tsv(args.classes) if args.classes
-               else read_classes_bam(args.classes_bam))
+    if args.classes:
+        classes = read_classes_tsv(args.classes)
+    else:
+        from ngspeciesid_tpu.io.bam import (
+            classes_from_intervals,
+            classes_from_ref_names,
+        )
+        classes = (classes_from_ref_names(args.classes_bam) if args.simulated
+                   else classes_from_intervals(args.classes_bam))
     result = evaluate(classes, clusters, args.min_class_size)
     if args.outfile:
         with open(args.outfile, "w", newline="") as f:
