@@ -247,12 +247,13 @@ def _pooled_reads(all_reads_files: Sequence[str]):
 
 
 def _polish_subset(seqs, quals):
-    """Uniformly spaced subsample for polishing above the depth cap."""
+    """Uniformly spaced subsample for polishing above the depth cap;
+    returns (seqs, quals, source indices)."""
     n = len(seqs)
     if n <= POLISH_MAX_READS:
-        return seqs, quals
+        return seqs, quals, list(range(n))
     idx = np.linspace(0, n - 1, POLISH_MAX_READS).astype(np.int64)
-    return [seqs[i] for i in idx], [quals[i] for i in idx]
+    return [seqs[i] for i in idx], [quals[i] for i in idx], idx.tolist()
 
 
 def polish_sequences(centers: List[List], cfg: Config) -> List[List]:
@@ -285,7 +286,7 @@ def polish_sequences(centers: List[List], cfg: Config) -> List[List]:
             mkdir_p(outdir)
             logger.debug("polishing (medaka-class) center %s with %d reads", c_id, len(records))
             polished = seq_bytes(center)
-            p_seqs, p_quals = _polish_subset(seqs, quals)
+            p_seqs, p_quals, _ = _polish_subset(seqs, quals)
             neural = _load_neural_polisher(cfg.medaka_model)
             if neural is not None:
                 params, neural_round = neural
@@ -307,8 +308,18 @@ def polish_sequences(centers: List[List], cfg: Config) -> List[List]:
             mkdir_p(outdir)
             logger.debug("polishing (racon-class) center %s with %d reads", c_id, len(records))
             polished = seq_bytes(center)
-            p_seqs, _ = _polish_subset(seqs, quals)
+            p_seqs, _, p_idx = _polish_subset(seqs, quals)
+            p_names = [records[i][0] for i in p_idx]
             for it in range(cfg.racon_iter):
+                # per-iteration read->center PAF, the reference's minimap2
+                # observability artifact (consensus.py:118-121); the polish
+                # itself aligns reads exactly with the batched DP
+                from ..ops.mapping import map_reads_to_center, write_paf
+                mappings = map_reads_to_center(polished, p_seqs)
+                write_paf(
+                    os.path.join(outdir, f"mapping_it_{it}.paf"),
+                    p_names, mappings,
+                    f"consensus_cl_id_{c_id}")
                 polished = polish_round(polished, p_seqs)
                 with open(os.path.join(outdir, f"racon_polished_it_{it}.fasta"), "w") as f:
                     f.write(f">consensus_cl_id_{c_id}\n{bytes_to_str(polished)}\n")
