@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true",
                         help="Reuse content-addressed stage artifacts (sorted reads, "
                              "clustering) when inputs and parameters are unchanged")
+    parser.add_argument("--profile", action="store_true",
+                        help="Write a JAX device trace to <outfolder>/profile and "
+                             "log per-stage wall-clock at INFO")
     parser.set_defaults(which="main")
 
     subparsers = parser.add_subparsers(help="sub-command help")
@@ -144,6 +147,7 @@ def args_to_config(args: argparse.Namespace) -> Config:
         seed=args.seed,
         align_band=args.align_band,
         resume=args.resume,
+        profile=args.profile,
     )
     cfg.apply_preset(ont=args.ont, isoseq=args.isoseq)
     return cfg

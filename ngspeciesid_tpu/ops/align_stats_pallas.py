@@ -271,11 +271,17 @@ def sg_stats_batch_pallas(
     if not pairs:
         return []
     assert all(1 <= k <= MAX_K for k in ks), f"stats kernel requires k <= {MAX_K}"
-    n = max(a.size for a, _ in pairs)
-    m = max(b.size for _, b in pairs)
+    # Coarse shape buckets: Mosaic compiles are expensive (minutes through
+    # a remote tunnel), so bound the number of distinct compiled programs
+    # the way sg_align_batch does for the move-matrix kernel.
+    from .align import _bucket_width
+
+    n = _bucket_width(max(a.size for a, _ in pairs))
+    m = _bucket_width(max(b.size for _, b in pairs))
     L = -(-(n + 1) // 128) * 128
     B = len(pairs)
     Bp = -(-B // SUBLANES) * SUBLANES
+    Bp = max(SUBLANES, 1 << (Bp - 1).bit_length())  # power-of-two batch pad
     s2r_w = -(-(n + m + L) // 128) * 128
     s1b = np.zeros((Bp, L), dtype=np.int32)
     s2r = np.full((Bp, s2r_w), -1, dtype=np.int32)

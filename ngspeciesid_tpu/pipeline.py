@@ -163,35 +163,52 @@ def run(cfg: Config) -> None:
     import time
 
     mkdir_p(cfg.outfolder)
-    t0 = time.time()
-    sorted_path = score_and_sort(cfg)
-    logger.debug("elapsed time sorting: %.2fs", time.time() - t0)
-    read_array = load_read_array(sorted_path, cfg)
-    abundance_cutoff = int(cfg.abundance_ratio * len(read_array))
+    profiling = bool(getattr(cfg, "profile", False))
+    stage_log = logger.info if profiling else logger.debug
+    if profiling:
+        # device-time traces viewable in TensorBoard / Perfetto; host stage
+        # wall-clocks are promoted to INFO alongside (SURVEY.md section 5,
+        # tracing/profiling)
+        import jax
 
-    logger.info("Starting Clustering: %d reads", len(read_array))
-    t0 = time.time()
-    clusters, store, alive = cluster_read_array(read_array, cfg, sorted_path)
-    logger.debug("Time elapsed clustering: %.2fs", time.time() - t0)
-    nontrivial = write_cluster_tables(clusters, store, cfg)
-    logger.info("Finished Clustering: %d clusters formed", nontrivial)
-
-    if cfg.consensus:
-        logger.info("Starting Consensus creation and polishing")
-        work_dir = tempfile.mkdtemp()
-        logger.debug(
-            "Forming draft consensus with abundance_cutoff >= %d (%s%% of %d reads)",
-            abundance_cutoff, cfg.abundance_ratio * 100, len(read_array),
-        )
-        rep_scores = {int(store.ids[store.row(c)]): float(store.scores[store.row(c)])
-                      for c in clusters}
+        trace_dir = os.path.join(cfg.outfolder, "profile")
+        jax.profiler.start_trace(trace_dir)
+        logger.info("Profiling: device trace -> %s", trace_dir)
+    try:
         t0 = time.time()
-        centers = run_consensus_stage(
-            clusters, rep_scores, sorted_path, work_dir, abundance_cutoff, cfg
-        )
-        logger.debug("Time elapsed consensus+polish: %.2fs", time.time() - t0)
-        shutil.rmtree(work_dir)
-        logger.info("Finished Consensus creation: %d created", len(centers))
+        sorted_path = score_and_sort(cfg)
+        stage_log("elapsed time sorting: %.2fs", time.time() - t0)
+        read_array = load_read_array(sorted_path, cfg)
+        abundance_cutoff = int(cfg.abundance_ratio * len(read_array))
+
+        logger.info("Starting Clustering: %d reads", len(read_array))
+        t0 = time.time()
+        clusters, store, alive = cluster_read_array(read_array, cfg, sorted_path)
+        stage_log("Time elapsed clustering: %.2fs", time.time() - t0)
+        nontrivial = write_cluster_tables(clusters, store, cfg)
+        logger.info("Finished Clustering: %d clusters formed", nontrivial)
+
+        if cfg.consensus:
+            logger.info("Starting Consensus creation and polishing")
+            work_dir = tempfile.mkdtemp()
+            logger.debug(
+                "Forming draft consensus with abundance_cutoff >= %d (%s%% of %d reads)",
+                abundance_cutoff, cfg.abundance_ratio * 100, len(read_array),
+            )
+            rep_scores = {int(store.ids[store.row(c)]): float(store.scores[store.row(c)])
+                          for c in clusters}
+            t0 = time.time()
+            centers = run_consensus_stage(
+                clusters, rep_scores, sorted_path, work_dir, abundance_cutoff, cfg
+            )
+            stage_log("Time elapsed consensus+polish: %.2fs", time.time() - t0)
+            shutil.rmtree(work_dir)
+            logger.info("Finished Consensus creation: %d created", len(centers))
+    finally:
+        if profiling:
+            import jax
+
+            jax.profiler.stop_trace()
 
 
 def write_fastq_subcommand(clusters_path: str, fastq: str, outfolder: str, n_min: int) -> None:

@@ -51,6 +51,14 @@ class TestParser:
         from ngspeciesid_tpu.cli import main
         assert main(["--fastq", "x", "--outfolder", "o", "--k", "30", "--w", "20"]) == 1
 
+    def test_tpu_extension_flags(self):
+        p = build_parser()
+        cfg = args_to_config(p.parse_args(
+            ["--fastq", "x", "--outfolder", "o", "--resume", "--profile"]))
+        assert cfg.resume and cfg.profile
+        cfg = args_to_config(p.parse_args(["--fastq", "x", "--outfolder", "o"]))
+        assert not cfg.resume and not cfg.profile
+
 
 class TestFilters:
     def test_length_window(self, tmp_path, rng):
