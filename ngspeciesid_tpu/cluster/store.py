@@ -93,12 +93,20 @@ def build_store(
             f"{63 // rank_bits} for this input."
         )
 
-    error_rates = np.empty(n, dtype=np.float64)
-    full_err = np.empty(n, dtype=np.float64)
+    from .. import native
+    if native.available() and n:
+        # one linear C pass per read (bit-identical accumulation order;
+        # parity-tested in tests/test_native.py)
+        error_rates, full_err = native.read_error_stats_native(
+            seq_b, qual_b, PHRED_TO_P_CAPPED)
+    else:
+        error_rates = np.empty(n, dtype=np.float64)
+        full_err = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            error_rates[i] = _hpol_error_rate(seq_b[i], qual_b[i])
+            full_err[i] = _full_error_rate(qual_b[i])
     eidx = np.empty(n, dtype=np.int8)
     for i in range(n):
-        error_rates[i] = _hpol_error_rate(seq_b[i], qual_b[i])
-        full_err[i] = _full_error_rate(qual_b[i])
         eidx[i] = int(round(clamp_error_rate(error_rates[i]) * 100)) - 1
     minims = batch_minimizers(hpol, k, w, rank_of, rank_bits)
     min_codes = [m[0] for m in minims]

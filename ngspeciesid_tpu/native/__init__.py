@@ -97,6 +97,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ]
         lib.sg_pileup_native.restype = None
+        lib.read_error_stats_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.read_error_stats_native.restype = None
         _lib = lib
         return _lib
 
@@ -186,6 +193,45 @@ def block_stats_native(
         p(ratios, ctypes.c_double),
     )
     return [(ratios[2 * i], ratios[2 * i + 1]) for i in range(B)]
+
+
+def read_error_stats_native(
+    seqs: List[np.ndarray], quals: List[np.ndarray], p_table: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-read (hpol_error_rate, full_error_rate) — bit-identical to
+    cluster/store.py's numpy accumulation, one linear pass per read in C."""
+    lib = get_lib()
+    assert lib is not None
+    B = len(seqs)
+    if B > 16384:  # bound the padded staging buffers (B x stride x 2 bytes)
+        he = np.empty(B, dtype=np.float64)
+        fe = np.empty(B, dtype=np.float64)
+        for s in range(0, B, 16384):
+            he[s : s + 16384], fe[s : s + 16384] = read_error_stats_native(
+                seqs[s : s + 16384], quals[s : s + 16384], p_table)
+        return he, fe
+    stride = max((s.size for s in seqs), default=1)
+    sb = np.zeros((B, stride), dtype=np.uint8)
+    qb = np.zeros((B, stride), dtype=np.uint8)
+    lens = np.empty(B, dtype=np.int32)
+    for i, (s, q) in enumerate(zip(seqs, quals)):
+        sb[i, : s.size] = s
+        qb[i, : q.size] = q
+        lens[i] = s.size
+    hpol_err = np.empty(B, dtype=np.float64)
+    full_err = np.empty(B, dtype=np.float64)
+    p_table = np.ascontiguousarray(p_table, dtype=np.float64)
+
+    def p(arr, typ):
+        return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+    lib.read_error_stats_native(
+        p(sb, ctypes.c_uint8), p(qb, ctypes.c_uint8),
+        p(lens, ctypes.c_int32), B, stride,
+        p(p_table, ctypes.c_double),
+        p(hpol_err, ctypes.c_double), p(full_err, ctypes.c_double),
+    )
+    return hpol_err, full_err
 
 
 def pileup_native(

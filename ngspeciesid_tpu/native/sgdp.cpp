@@ -272,6 +272,55 @@ void sg_identity_native(
     }
 }
 
+// Per-read error-rate statistics for the clustering store
+// (cluster/store.py::_hpol_error_rate and ::_full_error_rate):
+//   hpol_err[b] = count-weighted mean of the capped error probability of the
+//                 best-quality char per homopolymer run (best = lowest p,
+//                 ties keep the first occurrence — reference cluster.py:279-291);
+//   full_err[b] = same mean over the full quality string.
+// Accumulation is a sequential double sum over ascending byte values of
+// counts[v] * p_table[v], the exact operation order of the numpy
+// cumsum-based implementation, so results are bit-identical.
+void read_error_stats_native(
+    const uint8_t* seqs, const uint8_t* quals, const int32_t* lens,
+    int B, int stride, const double* p_table /* 128 doubles, capped */,
+    double* hpol_err, double* full_err) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int b = 0; b < B; ++b) {
+        const uint8_t* s = seqs + (size_t)b * stride;
+        const uint8_t* q = quals + (size_t)b * stride;
+        int n = lens[b];
+        int64_t full_counts[128] = {0};
+        int64_t run_counts[128] = {0};
+        int64_t n_runs = 0;
+        int i = 0;
+        while (i < n) {
+            uint8_t base = s[i];
+            uint8_t best_q = q[i];
+            double best_p = p_table[q[i] & 0x7F];
+            full_counts[q[i] & 0x7F]++;
+            int j = i + 1;
+            for (; j < n && s[j] == base; ++j) {
+                full_counts[q[j] & 0x7F]++;
+                double p = p_table[q[j] & 0x7F];
+                if (p < best_p) { best_p = p; best_q = q[j]; }
+            }
+            run_counts[best_q & 0x7F]++;
+            ++n_runs;
+            i = j;
+        }
+        double acc_h = 0.0, acc_f = 0.0;
+        for (int v = 0; v < 128; ++v) {
+            acc_h += (double)run_counts[v] * p_table[v];
+            acc_f += (double)full_counts[v] * p_table[v];
+        }
+        hpol_err[b] = n_runs ? acc_h / (double)n_runs : 0.0;
+        full_err[b] = n ? acc_f / (double)n : 0.0;
+    }
+}
+
 // Pileup accumulation for one center (ops/poa.py::pileup_stats, the polish
 // hot loop): align every read to the fixed center (parallel DP), then walk
 // the alignment cores sequentially IN READ ORDER accumulating unit votes,

@@ -96,3 +96,39 @@ class TestStatsDispatchParity:
         assert align_mod.stats_backend_default() == "host"
         monkeypatch.delenv("NGSID_STATS_BACKEND")
         assert align_mod.stats_backend_default() in ("native", "pallas", "host")
+
+
+class TestReadErrorStats:
+    """read_error_stats_native must equal the numpy accumulation bit-for-bit."""
+
+    def test_bit_identical(self, rng):
+        from ngspeciesid_tpu.cluster.store import _full_error_rate, _hpol_error_rate
+        from ngspeciesid_tpu.utils.phred import PHRED_TO_P_CAPPED
+
+        seqs, quals = [], []
+        for _ in range(64):
+            n = int(rng.integers(26, 400))
+            # runs of random length so hpol compression is exercised
+            s = np.repeat(rng.integers(65, 69, size=n).astype(np.uint8),
+                          rng.integers(1, 4, size=n))
+            q = rng.integers(33, 105, size=s.size).astype(np.uint8)
+            seqs.append(s)
+            quals.append(q)
+        he, fe = native.read_error_stats_native(seqs, quals, PHRED_TO_P_CAPPED)
+        for i in range(len(seqs)):
+            assert he[i] == _hpol_error_rate(seqs[i], quals[i]), i
+            assert fe[i] == _full_error_rate(quals[i]), i
+
+    def test_chunked_path(self, rng):
+        from ngspeciesid_tpu.utils.phred import PHRED_TO_P_CAPPED
+
+        seqs = [rng.integers(65, 69, size=50).astype(np.uint8) for _ in range(40)]
+        quals = [rng.integers(33, 90, size=50).astype(np.uint8) for _ in range(40)]
+        a = native.read_error_stats_native(seqs, quals, PHRED_TO_P_CAPPED)
+        import ngspeciesid_tpu.native as nat
+        # force chunking by monkeying the threshold via tiny slices
+        b0, b1 = [], []
+        for s in range(0, 40, 7):
+            h, f = native.read_error_stats_native(seqs[s:s+7], quals[s:s+7], PHRED_TO_P_CAPPED)
+            b0.extend(h.tolist()); b1.extend(f.tolist())
+        assert a[0].tolist() == b0 and a[1].tolist() == b1
