@@ -70,6 +70,8 @@ class MinimizerDB:
         self._base_codes = np.zeros(0, dtype=np.int64)
         self._base_off = np.zeros(1, dtype=np.int64)
         self._base_posts = np.zeros(0, dtype=np.int64)
+        self._version = 0          # bumped on insert; keys the delta snapshot
+        self._delta_snap = None    # (version, d_codes, d_off, d_posts)
 
     def __len__(self) -> int:
         return self._n_codes
@@ -77,6 +79,7 @@ class MinimizerDB:
     def insert(self, codes: np.ndarray, rep_id: int) -> None:
         # one insert per representative; per-read duplicate codes collapse
         # (reference set semantics, cluster.py:329-334)
+        self._version += 1
         delta = self.delta
         base_codes = self._base_codes
         for c in np.unique(codes).tolist():
@@ -118,14 +121,38 @@ class MinimizerDB:
             self._base_codes = np.zeros(0, np.int64)
             self._base_off = np.zeros(1, np.int64)
         self.delta = {}
+        self._delta_snap = None
         self._n_codes = self._base_codes.size
 
     def snapshot(self):
-        """(base_codes, base_off, base_posts, delta) for the batched join;
-        folds the delta in when it has outgrown a quarter of the base."""
+        """Two CSR posting tables, (base_codes, base_off, base_posts,
+        delta_codes, delta_off, delta_posts), for the batched join; folds
+        the delta in when it has outgrown a quarter of the base.  The delta
+        table is materialized here (sorted codes, insertion-ordered
+        postings) so the join is pure searchsorted — no per-code dict
+        lookups on the wave path."""
         if len(self.delta) > max(1024, self._base_codes.size // 4):
             self._compact()
-        return self._base_codes, self._base_off, self._base_posts, self.delta
+        if self._delta_snap is None or self._delta_snap[0] != self._version:
+            delta = self.delta
+            if delta:
+                d_codes = np.fromiter(delta.keys(), dtype=np.int64, count=len(delta))
+                order = np.argsort(d_codes)
+                d_codes = d_codes[order]
+                vals = list(delta.values())
+                d_lens = np.array([len(vals[i]) for i in order], dtype=np.int64)
+                d_off = np.concatenate([[0], np.cumsum(d_lens)])
+                d_posts = np.fromiter(
+                    (r for i in order for r in vals[i]),
+                    dtype=np.int64, count=int(d_lens.sum()))
+            else:
+                d_codes = np.zeros(0, np.int64)
+                d_off = np.zeros(1, np.int64)
+                d_posts = np.zeros(0, np.int64)
+            self._delta_snap = (self._version, d_codes, d_off, d_posts)
+        _, d_codes, d_off, d_posts = self._delta_snap
+        return (self._base_codes, self._base_off, self._base_posts,
+                d_codes, d_off, d_posts)
 
 
 class GapPassTable:
@@ -164,12 +191,13 @@ def _candidate_groups(
     exclude_self: bool = True,
 ):
     """Batched minimizer join: hits of each wave read against the snapshot DB
-    (sorted base via searchsorted + recent-insert delta via dict lookups).
+    (two sorted CSR posting tables — compacted base + recent-insert delta —
+    joined with vectorized searchsorted).
 
     Returns flat per-hit arrays grouped by (wave_read, rep): group start
     offsets, plus per-group read row, rep id, hit counts.
     """
-    codes_s, off, posts, delta = snap
+    base_codes, base_off, base_posts, d_codes, d_off, d_posts = snap
     rid_list, midx_list, pos_list, code_list = [], [], [], []
     for wi, row in enumerate(rows):
         c = store.min_codes[row]
@@ -185,7 +213,10 @@ def _candidate_groups(
     code = np.concatenate(code_list)
 
     parts = []  # (rid_e, midx_e, pos_e, reps) fragments
-    if codes_s.size:
+    for codes_s, off, posts in ((base_codes, base_off, base_posts),
+                                (d_codes, d_off, d_posts)):
+        if not codes_s.size:
+            continue
         loc = np.searchsorted(codes_s, code)
         loc_c = np.minimum(loc, codes_s.size - 1)
         found = codes_s[loc_c] == code
@@ -200,21 +231,6 @@ def _candidate_groups(
                 )
                 parts.append((np.repeat(b_rid, counts), np.repeat(b_midx, counts),
                               np.repeat(b_pos, counts), posts[starts + within]))
-    if delta:
-        get = delta.get
-        d_rid, d_midx, d_pos, d_reps = [], [], [], []
-        for t in range(code.size):
-            lst = get(int(code[t]))
-            if lst is not None:
-                d_rid.extend([rid[t]] * len(lst))
-                d_midx.extend([midx[t]] * len(lst))
-                d_pos.extend([pos[t]] * len(lst))
-                d_reps.extend(lst)
-        if d_rid:
-            parts.append((np.array(d_rid, dtype=np.int64),
-                          np.array(d_midx, dtype=np.int64),
-                          np.array(d_pos, dtype=np.int64),
-                          np.array(d_reps, dtype=np.int64)))
     if not parts:
         return None
     rid_e = np.concatenate([p[0] for p in parts])
