@@ -382,6 +382,20 @@ void sg_pileup_native(
         int span_lo = ci;
         int pend_len = 0;
         double pend_w = 0.0;
+        // Terminal extension (ops/poa.py::pileup_stats): head bases of a
+        // read whose alignment starts at center position 0 vote an
+        // insertion event at slot 0 (tail symmetrically below).
+        if (ci == 0 && ri > 0) {
+            for (int p = 0; p < ri; ++p) {
+                ev_bytes[nb++] = read[p];
+                pend_w += w ? w[p] : 1.0;
+            }
+            ev_pos[ne] = 0;
+            ev_w[ne] = pend_w / ri;
+            ev_len[ne] = ri;
+            ++ne;
+            pend_w = 0.0;
+        }
         for (int t = lo; t < hi; ++t) {
             uint8_t op = mv[t];
             if (op == MV_LEFT) {
@@ -414,6 +428,19 @@ void sg_pileup_native(
         }
         if (pend_len) {
             ev_pos[ne] = ci;
+            ev_w[ne] = pend_w / pend_len;
+            ev_len[ne] = pend_len;
+            ++ne;
+        }
+        if (ci == L && ri < read_len[b]) {
+            pend_len = 0;
+            pend_w = 0.0;
+            for (int p = ri; p < read_len[b]; ++p) {
+                ev_bytes[nb++] = read[p];
+                ++pend_len;
+                pend_w += w ? w[p] : 1.0;
+            }
+            ev_pos[ne] = L;
             ev_w[ne] = pend_w / pend_len;
             ev_len[ne] = pend_len;
             ++ne;

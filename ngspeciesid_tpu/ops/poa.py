@@ -296,6 +296,17 @@ def pileup_stats(
             st.ins_open[ci] += 1.0
             pending, pending_w = [], 0.0
 
+        # Terminal extension: a read whose alignment starts at center
+        # position 0 but has unaligned head bases extends the center leftward
+        # (symmetrically at the tail below).  Without this, a truncated
+        # center can never be repaired past its own ends — spoa's graph
+        # consensus (reference consensus.py:83-92) has no such cap.
+        if ci == 0 and ri > 0:
+            for p in range(ri):
+                pending.append(int(read[p]))
+                pending_w += float(w[p]) if w is not None else 1.0
+            flush(0)
+
         for mv in core:
             if mv == DIAG:
                 if pending:
@@ -318,6 +329,11 @@ def pileup_stats(
                 ri += 1
         if pending:
             flush(ci)
+        if ci == L and ri < read.size:
+            for p in range(ri, read.size):
+                pending.append(int(read[p]))
+                pending_w += float(w[p]) if w is not None else 1.0
+            flush(L)
         st.coverage[lo : ci + 1] += 1.0
     return st
 
@@ -345,8 +361,15 @@ def polish_round(
     for p in range(L + 1):
         if ins_votes[p]:
             total_ins = sum(ins_votes[p].values())
-            if total_ins > coverage[p] / 2.0:
-                best = sorted(ins_votes[p].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            best = sorted(ins_votes[p].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            # Internal slots gate on the total insertion mass (error-driven
+            # events whose keys mostly agree).  Terminal slots (p==0 / p==L)
+            # collect overhangs from ANY read that runs past the center —
+            # adapters, junk, wrong-orientation reads — so the winning key
+            # itself must carry a majority, or a tiny-support plurality of
+            # junk would extend the center.
+            gate = best[1] if p == 0 or p == L else total_ins
+            if gate > coverage[p] / 2.0:
                 out.extend(best[0])
         if p < L:
             v = votes[p]

@@ -25,9 +25,13 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(1234)
+@pytest.fixture()
+def rng(request):
+    # Per-test deterministic stream, independent of which other tests ran:
+    # a session-scoped generator makes every assertion depend on suite order.
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
 
 
 # Real-ONT smoke fixture (280 COI reads).  We read it from the mounted

@@ -86,6 +86,20 @@ class TestPolish:
         polished = polish_round(draft, reads)
         assert edit_distance(polished, t) <= 1
 
+    def test_polish_extends_truncated_ends(self, rng):
+        # A center missing bases at both termini must be repaired: reads
+        # overhanging an end vote a majority-gated terminal insertion.
+        t = make_template(rng, 300)
+        reads_quals = [noisy_copy(rng, t, 0.05) for _ in range(30)]
+        reads = [r for r, _ in reads_quals]
+        quals = [q for _, q in reads_quals]
+        draft = t[3:-4].copy()
+        polished = polish_round(draft, reads, quals)
+        assert edit_distance(polished, t) == 0
+        # count-weighted path too
+        polished_nq = polish_round(draft, reads)
+        assert edit_distance(polished_nq, t) == 0
+
     def test_polish_empty_inputs(self):
         c = seq_bytes("ACGT")
         assert polish_round(c, []).tobytes() == b"ACGT"
