@@ -55,6 +55,16 @@ def main():
     from ngspeciesid_tpu.io.fastx import read_fastx
     n_reads = sum(1 for _ in read_fastx(fastq))
 
+    # Untimed warmup: builds the native engine and populates the persistent
+    # jax compilation cache so the timed pass measures steady-state
+    # throughput, not one-time compile/build cost.
+    warm_out = tempfile.mkdtemp(prefix="ngtpu_bench_warm_")
+    warm_cfg = Config(fastq=fastq, outfolder=warm_out, nr_cores=1,
+                      consensus=True, medaka=True)
+    warm_cfg.apply_preset(ont=True)
+    run(warm_cfg)
+    shutil.rmtree(warm_out, ignore_errors=True)
+
     t0 = time.time()
     run(cfg)
     elapsed = time.time() - t0
