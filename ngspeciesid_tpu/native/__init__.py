@@ -29,8 +29,10 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           "-o", _SO, _SRC]
+    # -ffp-contract=off: no FMA contraction, so double accumulations round
+    # exactly like the numpy mirrors they must be bit-identical to.
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-fopenmp",
+           "-shared", "-fPIC", "-o", _SO, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True

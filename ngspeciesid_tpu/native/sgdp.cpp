@@ -30,7 +30,55 @@ struct PairResult {
     int32_t end_j;
 };
 
-// One pair's DP; packed moves written as (n+1) x m bytes (column j at j-1).
+// Per-thread reusable workspace: no per-pair allocation, and — critically —
+// no per-pair O(n*m) zero-fill of the move matrix.  The packed matrix is
+// stored band-compressed ((n+1) x band_stride with a per-row column base
+// jlo[i]); every cell inside a row's window is written by the DP before the
+// traceback can read it, and reads outside the window are clamped to 0 by
+// cell_at(), so reusing the buffers across pairs is deterministic.
+struct DpScratch {
+    std::vector<uint8_t> packed;
+    std::vector<int32_t> jlo, jhi;
+    std::vector<int32_t> H, Hn, F, hne, diag_row, E_row;
+    std::vector<uint8_t> fopen_row, eopen_row;
+    std::vector<uint8_t> moves;
+    int band_stride = 0;
+
+    // Widest row window of the banded schedule for an (n, m) problem.
+    static int max_band_width(int n, int m, int band_hw) {
+        if (band_hw <= 0 || n <= 0) return m;
+        int widest = 1, prev_hi = m;
+        for (int i = 1; i <= n; ++i) {
+            long ci = (long)i * m / n;
+            int j_lo = (int)std::max(1L, ci - band_hw);
+            int j_hi = (int)std::min((long)m, ci + band_hw);
+            j_lo = std::min(j_lo, prev_hi + 1);
+            prev_hi = j_hi;
+            widest = std::max(widest, j_hi - j_lo + 1);
+        }
+        return widest;
+    }
+
+    void prepare(int n, int m, int band_hw) {
+        band_stride = max_band_width(n, m, band_hw);
+        size_t need = (size_t)(n + 1) * band_stride;
+        if (packed.size() < need) packed.resize(need);
+        if ((int)jlo.size() < n + 1) { jlo.resize(n + 1); jhi.resize(n + 1); }
+        if ((int)H.size() < m + 1) {
+            H.resize(m + 1); Hn.resize(m + 1); F.resize(m + 1);
+            hne.resize(m + 1); diag_row.resize(m + 1); E_row.resize(m + 1);
+            fopen_row.resize(m + 1); eopen_row.resize(m + 1);
+        }
+        if ((int)moves.size() < n + m) moves.resize(n + m);
+    }
+
+    inline uint8_t cell_at(int i, int j) const {
+        if (j < jlo[i] || j > jhi[i]) return 0;
+        return packed[(size_t)i * band_stride + (j - jlo[i])];
+    }
+};
+
+// One pair's DP; move bytes band-compressed into scratch (see DpScratch).
 // band_hw > 0 computes only columns within +-band_hw of the scaled main
 // diagonal c_i = i*m/n (plus the |m-n| skew) — exact whenever the optimal
 // path stays inside the band, which holds for same-template amplicon pairs
@@ -39,15 +87,22 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
                int len1, int len2, int gap_open,
                int match, int mismatch, int gap_ext,
                int band_hw,
-               uint8_t* packed, int packed_stride,
+               DpScratch& scr,
                PairResult* res) {
     const int m = len2, n = len1;
-    std::vector<int32_t> H(m + 1), Hn(m + 1, NEG_INF), F(m + 1, NEG_INF);
-    std::vector<int32_t> hne(m + 1), diag_row(m + 1), E_row(m + 1);
-    std::vector<uint8_t> fopen_row(m + 1), eopen_row(m + 1);
-    for (int j = 0; j <= m; ++j) H[j] = 0;  // free leading gaps
+    scr.prepare(n, m, band_hw);
+    int32_t* H = scr.H.data();
+    int32_t* Hn = scr.Hn.data();
+    int32_t* F = scr.F.data();
+    int32_t* hne = scr.hne.data();
+    int32_t* diag_row = scr.diag_row.data();
+    int32_t* E_row = scr.E_row.data();
+    uint8_t* fopen_row = scr.fopen_row.data();
+    uint8_t* eopen_row = scr.eopen_row.data();
+    for (int j = 0; j <= m; ++j) { H[j] = 0; Hn[j] = NEG_INF; F[j] = NEG_INF; }
 
     int32_t col_best = H[m], col_best_i = 0;   // last column j == len2
+    scr.jlo[0] = 1; scr.jhi[0] = 0;            // row 0 holds no move cells
 
     const bool banded = band_hw > 0 && n > 0;
     int prev_hi = m;
@@ -71,7 +126,8 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
             if (j_lo > 1) Hn[j_lo - 1] = NEG_INF;
         }
         Hn[0] = 0;
-        uint8_t* prow = packed + (size_t)i * packed_stride;
+        scr.jlo[i] = j_lo; scr.jhi[i] = j_hi;
+        uint8_t* prow = scr.packed.data() + (size_t)i * scr.band_stride - j_lo;
         // Split the row into SIMD-friendly passes.  The left-gap state E can
         // source from h_no_e = max(diag, F) instead of the final H (classic
         // Gotoh dominance, exact for gap_open > gap_ext, which all callers
@@ -109,16 +165,21 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
             uint8_t mv = e > h ? MV_LEFT
                        : (F[j] > diag_row[j] ? MV_UP : MV_DIAG);
             Hn[j] = e > h ? e : h;
-            prow[j - 1] = (uint8_t)(mv | (eopen_row[j] ? 4 : 0)
-                                       | (fopen_row[j] ? 8 : 0));
+            prow[j] = (uint8_t)(mv | (eopen_row[j] ? 4 : 0)
+                                   | (fopen_row[j] ? 8 : 0));
         }
         std::swap(H, Hn);
-        if (H[m] >= col_best) { col_best = H[m]; col_best_i = i; }
+        // H[m] is only meaningful on rows whose window reached column m
+        // (otherwise it is a stale value from an older row).
+        if (j_hi == m && H[m] >= col_best) { col_best = H[m]; col_best_i = i; }
     }
-    // last row: corner-most max (largest j wins ties)
-    int32_t row_best = NEG_INF;
+    // last row: corner-most max (largest j wins ties), restricted to cells
+    // the final row actually wrote (plus the always-valid j = 0).
+    int scan_lo = (n == 0) ? 1 : scr.jlo[n];
+    int scan_hi = (n == 0) ? m : scr.jhi[n];
+    int32_t row_best = H[0];
     int32_t row_best_j = 0;
-    for (int j = 0; j <= m; ++j)
+    for (int j = scan_lo; j <= scan_hi; ++j)
         if (H[j] >= row_best) { row_best = H[j]; row_best_j = j; }
     if (row_best >= col_best) {
         res->score = row_best; res->end_i = len1; res->end_j = row_best_j;
@@ -128,7 +189,10 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
 }
 
 // Traceback into moves_out (caller-allocated n+m bytes); returns length.
-int traceback(const uint8_t* packed, int packed_stride,
+// Reads outside a row's written window resolve to 0 via cell_at(), the same
+// value the old zero-initialized full matrix held there — the optimal path
+// itself never leaves the written band (NEG_INF cells cannot win a max).
+int traceback(const DpScratch& scr,
               int n, int m, int end_i, int end_j, uint8_t* moves_out) {
     int pos = 0;
     // emit reversed; caller's buffer is filled back-to-front then reversed
@@ -138,7 +202,7 @@ int traceback(const uint8_t* packed, int packed_stride,
     for (int k = 0; k < m - end_j; ++k) ops.push_back(MV_LEFT);
     int i = end_i, j = end_j, state = 0;
     while (i > 0 && j > 0) {
-        uint8_t cell = packed[(size_t)i * packed_stride + (j - 1)];
+        uint8_t cell = scr.cell_at(i, j);
         if (state == 0) {
             uint8_t mv = cell & 3;
             if (mv == MV_DIAG) { ops.push_back(MV_DIAG); --i; --j; }
@@ -175,18 +239,23 @@ void sg_align_batch_native(
     int match, int mismatch, int gap_ext, int band_hw,
     uint8_t* moves_out, int32_t* moves_len, int32_t* scores) {
 #ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic)
+#pragma omp parallel
 #endif
-    for (int b = 0; b < B; ++b) {
-        int n = len1[b], m = len2[b];
-        std::vector<uint8_t> packed((size_t)(n + 1) * m);
-        PairResult res;
-        dp_single(s1b + (size_t)b * n_stride, s2b + (size_t)b * m_stride,
-                  n, m, gap_opens[b], match, mismatch, gap_ext, band_hw,
-                  packed.data(), m, &res);
-        moves_len[b] = traceback(packed.data(), m, n, m, res.end_i, res.end_j,
-                                 moves_out + (size_t)b * (n_stride + m_stride));
-        scores[b] = res.score;
+    {
+        DpScratch scr;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int b = 0; b < B; ++b) {
+            int n = len1[b], m = len2[b];
+            PairResult res;
+            dp_single(s1b + (size_t)b * n_stride, s2b + (size_t)b * m_stride,
+                      n, m, gap_opens[b], match, mismatch, gap_ext, band_hw,
+                      scr, &res);
+            moves_len[b] = traceback(scr, n, m, res.end_i, res.end_j,
+                                     moves_out + (size_t)b * (n_stride + m_stride));
+            scores[b] = res.score;
+        }
     }
 }
 
@@ -203,39 +272,45 @@ void sg_block_stats_native(
     int match, int mismatch, int gap_ext, int band_hw,
     double* ratios) {
 #ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic)
+#pragma omp parallel
 #endif
-    for (int b = 0; b < B; ++b) {
-        int n = len1[b], m = len2[b];
-        std::vector<uint8_t> packed((size_t)(n + 1) * m);
-        PairResult res;
-        const uint8_t* s1 = s1b + (size_t)b * n_stride;
-        const uint8_t* s2 = s2b + (size_t)b * m_stride;
-        dp_single(s1, s2, n, m, gap_opens[b], match, mismatch, gap_ext,
-                  band_hw, packed.data(), m, &res);
-        std::vector<uint8_t> moves(n + m);
-        int len = traceback(packed.data(), m, n, m, res.end_i, res.end_j,
-                            moves.data());
-        int k = ks[b], match_id = match_ids[b];
-        if (len < k) { ratios[2 * b] = 0.0; ratios[2 * b + 1] = 0.0; continue; }
-        // match vector + rolling window in one pass
-        std::vector<uint8_t> mv(len);
-        int i = 0, j = 0;
-        for (int t = 0; t < len; ++t) {
-            uint8_t op = moves[t];
-            if (op == MV_DIAG) { mv[t] = s1[i] == s2[j]; ++i; ++j; }
-            else if (op == MV_UP) { mv[t] = 0; ++i; }
-            else { mv[t] = 0; ++j; }
-        }
-        int window = 0, aligned = 0;
-        for (int t = 0; t < k; ++t) window += mv[t];
-        aligned += window >= match_id;
-        for (int t = k; t < len; ++t) {
-            window += mv[t] - mv[t - k];
+    {
+        DpScratch scr;
+        std::vector<uint8_t> mv;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int b = 0; b < B; ++b) {
+            int n = len1[b], m = len2[b];
+            PairResult res;
+            const uint8_t* s1 = s1b + (size_t)b * n_stride;
+            const uint8_t* s2 = s2b + (size_t)b * m_stride;
+            dp_single(s1, s2, n, m, gap_opens[b], match, mismatch, gap_ext,
+                      band_hw, scr, &res);
+            int len = traceback(scr, n, m, res.end_i, res.end_j,
+                                scr.moves.data());
+            const uint8_t* moves = scr.moves.data();
+            int k = ks[b], match_id = match_ids[b];
+            if (len < k) { ratios[2 * b] = 0.0; ratios[2 * b + 1] = 0.0; continue; }
+            // match vector + rolling window in one pass
+            if ((int)mv.size() < len) mv.resize(len);
+            int i = 0, j = 0;
+            for (int t = 0; t < len; ++t) {
+                uint8_t op = moves[t];
+                if (op == MV_DIAG) { mv[t] = s1[i] == s2[j]; ++i; ++j; }
+                else if (op == MV_UP) { mv[t] = 0; ++i; }
+                else { mv[t] = 0; ++j; }
+            }
+            int window = 0, aligned = 0;
+            for (int t = 0; t < k; ++t) window += mv[t];
             aligned += window >= match_id;
+            for (int t = k; t < len; ++t) {
+                window += mv[t] - mv[t - k];
+                aligned += window >= match_id;
+            }
+            ratios[2 * b] = (double)aligned / n;
+            ratios[2 * b + 1] = (double)aligned / m;
         }
-        ratios[2 * b] = (double)aligned / n;
-        ratios[2 * b + 1] = (double)aligned / m;
     }
 }
 
@@ -248,27 +323,32 @@ void sg_identity_native(
     int match, int mismatch, int gap_ext, int band_hw,
     double* identities) {
 #ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic)
+#pragma omp parallel
 #endif
-    for (int b = 0; b < B; ++b) {
-        int n = len1[b], m = len2[b];
-        std::vector<uint8_t> packed((size_t)(n + 1) * m);
-        PairResult res;
-        const uint8_t* s1 = s1b + (size_t)b * n_stride;
-        const uint8_t* s2 = s2b + (size_t)b * m_stride;
-        dp_single(s1, s2, n, m, gap_opens[b], match, mismatch, gap_ext,
-                  band_hw, packed.data(), m, &res);
-        std::vector<uint8_t> moves(n + m);
-        int len = traceback(packed.data(), m, n, m, res.end_i, res.end_j,
-                            moves.data());
-        int i = 0, j = 0, matches = 0;
-        for (int t = 0; t < len; ++t) {
-            uint8_t op = moves[t];
-            if (op == MV_DIAG) { matches += s1[i] == s2[j]; ++i; ++j; }
-            else if (op == MV_UP) ++i;
-            else ++j;
+    {
+        DpScratch scr;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int b = 0; b < B; ++b) {
+            int n = len1[b], m = len2[b];
+            PairResult res;
+            const uint8_t* s1 = s1b + (size_t)b * n_stride;
+            const uint8_t* s2 = s2b + (size_t)b * m_stride;
+            dp_single(s1, s2, n, m, gap_opens[b], match, mismatch, gap_ext,
+                      band_hw, scr, &res);
+            int len = traceback(scr, n, m, res.end_i, res.end_j,
+                                scr.moves.data());
+            const uint8_t* moves = scr.moves.data();
+            int i = 0, j = 0, matches = 0;
+            for (int t = 0; t < len; ++t) {
+                uint8_t op = moves[t];
+                if (op == MV_DIAG) { matches += s1[i] == s2[j]; ++i; ++j; }
+                else if (op == MV_UP) ++i;
+                else ++j;
+            }
+            identities[b] = len ? (double)matches / len : 0.0;
         }
-        identities[b] = len ? (double)matches / len : 0.0;
     }
 }
 
@@ -346,16 +426,21 @@ void sg_pileup_native(
     std::vector<uint8_t> moves((size_t)B * (L + rstride));
     std::vector<int32_t> mlen(B);
 #ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic)
+#pragma omp parallel
 #endif
-    for (int b = 0; b < B; ++b) {
-        int m = read_len[b];
-        std::vector<uint8_t> packed((size_t)(L + 1) * m);
-        PairResult res;
-        dp_single(center, reads + (size_t)b * rstride, L, m, gap_open,
-                  match, mismatch, gap_ext, band_hw, packed.data(), m, &res);
-        mlen[b] = traceback(packed.data(), m, L, m, res.end_i, res.end_j,
-                            moves.data() + (size_t)b * (L + rstride));
+    {
+        DpScratch scr;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int b = 0; b < B; ++b) {
+            int m = read_len[b];
+            PairResult res;
+            dp_single(center, reads + (size_t)b * rstride, L, m, gap_open,
+                      match, mismatch, gap_ext, band_hw, scr, &res);
+            mlen[b] = traceback(scr, L, m, res.end_i, res.end_j,
+                                moves.data() + (size_t)b * (L + rstride));
+        }
     }
 
     int8_t base_col[256];
