@@ -106,6 +106,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ]
         lib.read_error_stats_native.restype = None
+        lib.stage1_stats_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.stage1_stats_native.restype = None
+        lib.minimizers_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.minimizers_native.restype = None
         _lib = lib
         return _lib
 
@@ -234,6 +251,93 @@ def read_error_stats_native(
         p(hpol_err, ctypes.c_double), p(full_err, ctypes.c_double),
     )
     return hpol_err, full_err
+
+
+def stage1_stats_native(
+    seqs: List[np.ndarray], quals: List[np.ndarray], k: int,
+    p_capped: np.ndarray, p_uncapped: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused stage-1 per-read stats: (scores, error_rates, hpol_lens).
+
+    Bit-identical to ops/score.py::batch_scores / batch_error_rates and the
+    hpol-length filter, one streaming pass per read (see sgdp.cpp)."""
+    lib = get_lib()
+    assert lib is not None
+    B = len(seqs)
+    if B > 16384:  # bound the padded staging buffers
+        sc = np.empty(B, dtype=np.float64)
+        er = np.empty(B, dtype=np.float64)
+        hl = np.empty(B, dtype=np.int32)
+        for s in range(0, B, 16384):
+            sc[s:s + 16384], er[s:s + 16384], hl[s:s + 16384] = (
+                stage1_stats_native(seqs[s:s + 16384], quals[s:s + 16384],
+                                    k, p_capped, p_uncapped))
+        return sc, er, hl
+    stride = max((s.size for s in seqs), default=1)
+    sb = np.zeros((B, stride), dtype=np.uint8)
+    qb = np.zeros((B, stride), dtype=np.uint8)
+    lens = np.empty(B, dtype=np.int32)
+    for i, (s, q) in enumerate(zip(seqs, quals)):
+        sb[i, : s.size] = s
+        qb[i, : q.size] = q
+        lens[i] = s.size
+    scores = np.empty(B, dtype=np.float64)
+    errs = np.empty(B, dtype=np.float64)
+    hpol_lens = np.empty(B, dtype=np.int32)
+    p_capped = np.ascontiguousarray(p_capped, dtype=np.float64)
+    p_uncapped = np.ascontiguousarray(p_uncapped, dtype=np.float64)
+
+    def p(arr, typ):
+        return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+    lib.stage1_stats_native(
+        p(sb, ctypes.c_uint8), p(qb, ctypes.c_uint8),
+        p(lens, ctypes.c_int32), B, stride, k,
+        p(p_capped, ctypes.c_double), p(p_uncapped, ctypes.c_double),
+        p(scores, ctypes.c_double), p(errs, ctypes.c_double),
+        p(hpol_lens, ctypes.c_int32),
+    )
+    return scores, errs, hpol_lens
+
+
+def minimizers_native(
+    seqs: List[np.ndarray], k: int, w: int,
+    rank_of: np.ndarray, rank_bits: int,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Minimizer (codes, positions) per sequence — exact emission semantics
+    of ops/minimizers.py, deque-free sequential scan in C.  Caller must
+    ensure k * rank_bits <= 62."""
+    lib = get_lib()
+    assert lib is not None
+    B = len(seqs)
+    if B > 4096:  # bound the (B, stride) int64 output buffers
+        out: List[Tuple[np.ndarray, np.ndarray]] = []
+        for s in range(0, B, 4096):
+            out.extend(minimizers_native(seqs[s:s + 4096], k, w,
+                                         rank_of, rank_bits))
+        return out
+    stride = max((s.size for s in seqs), default=1)
+    sb = np.zeros((B, stride), dtype=np.uint8)
+    lens = np.empty(B, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        sb[i, : s.size] = s
+        lens[i] = s.size
+    out_codes = np.empty((B, stride), dtype=np.int64)
+    out_pos = np.empty((B, stride), dtype=np.int64)
+    out_counts = np.empty(B, dtype=np.int32)
+    rank_of = np.ascontiguousarray(rank_of, dtype=np.int64)
+
+    def p(arr, typ):
+        return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+    lib.minimizers_native(
+        p(sb, ctypes.c_uint8), p(lens, ctypes.c_int32), B, stride, k, w,
+        p(rank_of, ctypes.c_int64), rank_bits,
+        p(out_codes, ctypes.c_int64), p(out_pos, ctypes.c_int64),
+        p(out_counts, ctypes.c_int32),
+    )
+    return [(out_codes[b, : out_counts[b]].copy(),
+             out_pos[b, : out_counts[b]].copy()) for b in range(B)]
 
 
 def pileup_native(

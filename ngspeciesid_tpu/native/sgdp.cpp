@@ -78,6 +78,51 @@ struct DpScratch {
     }
 };
 
+// Row passes extracted into functions so the no-alias contract is carried
+// by PARAMETER __restrict__ — robust against the H/Hn pointer swap in the
+// caller, which otherwise defeats block-scope restrict and costs the
+// vectorization of these loops (measured 2.6x).
+static void row_pass1(int j_lo, int j_hi, uint8_t c1, int gap_open,
+                      int gap_ext, int match, int mismatch,
+                      const uint8_t* __restrict__ s2,
+                      const int32_t* __restrict__ H,
+                      int32_t* __restrict__ F,
+                      int32_t* __restrict__ hne,
+                      int32_t* __restrict__ diag_row,
+                      uint8_t* __restrict__ fopen_row) {
+    for (int j = j_lo; j <= j_hi; ++j) {
+        int32_t f_open = H[j] - gap_open;
+        int32_t f_ext = F[j] - gap_ext;
+        int32_t f = f_open >= f_ext ? f_open : f_ext;
+        fopen_row[j] = f_open >= f_ext;
+        F[j] = f;
+        int32_t sub = (s2[j - 1] == c1) ? match : mismatch;
+        int32_t diag = H[j - 1] + sub;
+        diag_row[j] = diag;
+        hne[j] = diag > f ? diag : f;
+    }
+}
+
+static void row_pass3(int j_lo, int j_hi,
+                      const int32_t* __restrict__ hne,
+                      const int32_t* __restrict__ E_row,
+                      const int32_t* __restrict__ F,
+                      const int32_t* __restrict__ diag_row,
+                      const uint8_t* __restrict__ eopen_row,
+                      const uint8_t* __restrict__ fopen_row,
+                      int32_t* __restrict__ Hn,
+                      uint8_t* __restrict__ prow) {
+    for (int j = j_lo; j <= j_hi; ++j) {
+        int32_t h = hne[j];
+        int32_t e = E_row[j];
+        uint8_t mv = e > h ? MV_LEFT
+                   : (F[j] > diag_row[j] ? MV_UP : MV_DIAG);
+        Hn[j] = e > h ? e : h;
+        prow[j] = (uint8_t)(mv | (eopen_row[j] ? 4 : 0)
+                               | (fopen_row[j] ? 8 : 0));
+    }
+}
+
 // One pair's DP; move bytes band-compressed into scratch (see DpScratch).
 // band_hw > 0 computes only columns within +-band_hw of the scaled main
 // diagonal c_i = i*m/n (plus the |m-n| skew) — exact whenever the optimal
@@ -91,14 +136,17 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
                PairResult* res) {
     const int m = len2, n = len1;
     scr.prepare(n, m, band_hw);
-    int32_t* H = scr.H.data();
-    int32_t* Hn = scr.Hn.data();
-    int32_t* F = scr.F.data();
-    int32_t* hne = scr.hne.data();
-    int32_t* diag_row = scr.diag_row.data();
-    int32_t* E_row = scr.E_row.data();
-    uint8_t* fopen_row = scr.fopen_row.data();
-    uint8_t* eopen_row = scr.eopen_row.data();
+    // __restrict__: the scratch rows never alias each other (distinct
+    // vectors); without it the uint8_t rows legally alias everything and
+    // the compiler cannot vectorize passes 1/3.
+    int32_t* __restrict__ H = scr.H.data();
+    int32_t* __restrict__ Hn = scr.Hn.data();
+    int32_t* __restrict__ F = scr.F.data();
+    int32_t* __restrict__ hne = scr.hne.data();
+    int32_t* __restrict__ diag_row = scr.diag_row.data();
+    int32_t* __restrict__ E_row = scr.E_row.data();
+    uint8_t* __restrict__ fopen_row = scr.fopen_row.data();
+    uint8_t* __restrict__ eopen_row = scr.eopen_row.data();
     for (int j = 0; j <= m; ++j) { H[j] = 0; Hn[j] = NEG_INF; F[j] = NEG_INF; }
 
     int32_t col_best = H[m], col_best_i = 0;   // last column j == len2
@@ -127,24 +175,16 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
         }
         Hn[0] = 0;
         scr.jlo[i] = j_lo; scr.jhi[i] = j_hi;
-        uint8_t* prow = scr.packed.data() + (size_t)i * scr.band_stride - j_lo;
+        uint8_t* __restrict__ prow =
+            scr.packed.data() + (size_t)i * scr.band_stride - j_lo;
         // Split the row into SIMD-friendly passes.  The left-gap state E can
         // source from h_no_e = max(diag, F) instead of the final H (classic
         // Gotoh dominance, exact for gap_open > gap_ext, which all callers
         // satisfy: open tiers 2-5 vs ext 1), which removes the only
         // loop-carried dependence except a 1-op running max.
-        // pass 1 (vectorizable): F update + diag + h_no_e
-        for (int j = j_lo; j <= j_hi; ++j) {
-            int32_t f_open = H[j] - gap_open;
-            int32_t f_ext = F[j] - gap_ext;
-            int32_t f = f_open >= f_ext ? f_open : f_ext;
-            fopen_row[j] = f_open >= f_ext;
-            F[j] = f;
-            int32_t sub = (s2[j - 1] == c1) ? match : mismatch;
-            int32_t diag = H[j - 1] + sub;
-            diag_row[j] = diag;
-            hne[j] = diag > f ? diag : f;
-        }
+        // pass 1 (vectorized): F update + diag + h_no_e
+        row_pass1(j_lo, j_hi, c1, gap_open, gap_ext, match, mismatch,
+                  s2, H, F, hne, diag_row, fopen_row);
         // pass 2 (scalar, 1 compare/cell): running max T[j] over
         // g[j] = h_no_e[j-1] - open + j*ext; E[j] = T[j] - j*ext
         {
@@ -158,16 +198,9 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
                 prev_hne = hne[j];
             }
         }
-        // pass 3 (vectorizable): final H, move byte
-        for (int j = j_lo; j <= j_hi; ++j) {
-            int32_t h = hne[j];
-            int32_t e = E_row[j];
-            uint8_t mv = e > h ? MV_LEFT
-                       : (F[j] > diag_row[j] ? MV_UP : MV_DIAG);
-            Hn[j] = e > h ? e : h;
-            prow[j] = (uint8_t)(mv | (eopen_row[j] ? 4 : 0)
-                                   | (fopen_row[j] ? 8 : 0));
-        }
+        // pass 3 (vectorized): final H, move byte
+        row_pass3(j_lo, j_hi, hne, E_row, F, diag_row, eopen_row,
+                  fopen_row, Hn, prow);
         std::swap(H, Hn);
         // H[m] is only meaningful on rows whose window reached column m
         // (otherwise it is a stale value from an older row).
@@ -534,6 +567,151 @@ void sg_pileup_native(
     }
     *n_ev = ne;
     *n_ev_bytes = nb;
+}
+
+// Stage-1 per-read statistics (preprocess.py hot loop), fused in one pass:
+//   scores[b]    = expected number of error-free k-mers — bit-identical to
+//                  ops/score.py::batch_scores' cumprod/cumsum identity, which
+//                  is itself bit-identical to the reference's sequential
+//                  recurrence (get_sorted_fastq_for_cluster.py:23-33): same
+//                  elementwise 1-p, same ratio division, same multiply and
+//                  add order (-ffp-contract=off keeps FMA out);
+//   errs[b]      = mean per-base error probability over the uncapped table,
+//                  accumulated over ascending byte values
+//                  (ops/score.py::batch_error_rates order);
+//   hpol_lens[b] = homopolymer-compressed length (stage-1 length filter).
+void stage1_stats_native(
+    const uint8_t* seqs, const uint8_t* quals, const int32_t* lens,
+    int B, int stride, int k,
+    const double* p_capped /*128*/, const double* p_uncapped /*128*/,
+    double* scores, double* errs, int32_t* hpol_lens) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+    for (int b = 0; b < B; ++b) {
+        const uint8_t* s = seqs + (size_t)b * stride;
+        const uint8_t* q = quals + (size_t)b * stride;
+        int n = lens[b];
+        // homopolymer-compressed length
+        int hl = n > 0 ? 1 : 0;
+        for (int i = 1; i < n; ++i) hl += s[i] != s[i - 1];
+        hpol_lens[b] = hl;
+        // error rate: counts, then ascending-byte weighted sum
+        int64_t counts[128] = {0};
+        for (int i = 0; i < n; ++i) counts[q[i] & 0x7F]++;
+        double acc = 0.0;
+        for (int v = 0; v < 128; ++v) {
+            double term = (double)counts[v] * p_uncapped[v];
+            acc += term;
+        }
+        errs[b] = n ? acc / (double)n : 0.0;
+        // score: sequential cumprod of [w_0..w_{k-1}, w_k/w_0, ...] summed
+        // from index k-1 on (the reference's sliding-window recurrence)
+        if (n < k) { scores[b] = 0.0; continue; }
+        double cp = 1.0;
+        for (int j = 0; j < k; ++j) cp *= 1.0 - p_capped[q[j] & 0x7F];
+        double sum_exp = cp;
+        for (int j = k; j < n; ++j) {
+            double w_new = 1.0 - p_capped[q[j] & 0x7F];
+            double w_old = 1.0 - p_capped[q[j - k] & 0x7F];
+            double ratio = w_new / w_old;
+            cp *= ratio;
+            sum_exp += cp;
+        }
+        double n_kmers = (double)(n - k + 1);
+        double expected_err = n_kmers - sum_exp;
+        double p_no_err = 1.0 - expected_err / n_kmers;
+        scores[b] = p_no_err * n_kmers;
+    }
+}
+
+// Lexicographic k-mer minimizers over homopolymer-compressed sequences,
+// exact emission semantics of ops/minimizers.py (reference cluster.py:16-39):
+// first window of w-k+1 k-mer starts (truncated/empty k-mers padded with
+// rank 0), re-emit on leaving minimum (first-occurrence rescan), emit on
+// strictly-smaller entering k-mer.  Requires k * rank_bits <= 62 (the
+// caller falls back to the numpy path otherwise).
+//   rank_of: 256 int64 byte ranks (1-based; 0 = padding)
+//   out_codes/out_pos: B x stride flat; out_counts: emissions per read
+void minimizers_native(
+    const uint8_t* seqs, const int32_t* lens, int B, int stride,
+    int k, int w, const int64_t* rank_of, int rank_bits,
+    int64_t* out_codes, int64_t* out_pos, int32_t* out_counts) {
+    const int win = w - k + 1;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int64_t> codes;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
+        for (int b = 0; b < B; ++b) {
+            const uint8_t* s = seqs + (size_t)b * stride;
+            int L = lens[b];
+            int64_t* oc = out_codes + (size_t)b * stride;
+            int64_t* op = out_pos + (size_t)b * stride;
+            if (L < k) { out_counts[b] = 0; continue; }
+            if ((int)codes.size() < L) codes.resize(L);
+            // packed rank codes at every start position; truncated tail
+            // k-mers are right-padded with rank 0 (prefix-sorts-first)
+            const uint64_t mask = (k * rank_bits >= 64)
+                ? ~0ULL : ((1ULL << (k * rank_bits)) - 1);
+            uint64_t code = 0;
+            for (int i = 0; i < k - 1; ++i)
+                code = (code << rank_bits) | (uint64_t)rank_of[s[i]];
+            for (int i = 0; i + k <= L; ++i) {
+                code = ((code << rank_bits) | (uint64_t)rank_of[s[i + k - 1]]) & mask;
+                codes[i] = (int64_t)code;
+            }
+            for (int i = std::max(L - k + 1, 0); i < L; ++i) {
+                // truncated suffix k-mer: remaining chars, padded with 0
+                uint64_t c = 0;
+                for (int off = 0; off < k; ++off) {
+                    uint64_t r = (i + off < L) ? (uint64_t)rank_of[s[i + off]] : 0;
+                    c = (c << rank_bits) | r;
+                }
+                codes[i] = (int64_t)(c & mask);
+            }
+            int n_kmers = L - k + 1;
+            int cnt = 0;
+            if (n_kmers <= win) {
+                // single (possibly truncated/padded) window over [0, win)
+                int64_t best = (0 < L) ? codes[0] : 0;
+                int best_pos = 0;
+                for (int j = 1; j < win; ++j) {
+                    int64_t c = (j < L) ? codes[j] : 0;
+                    if (c < best) { best = c; best_pos = j; }
+                }
+                oc[0] = best; op[0] = best_pos;
+                out_counts[b] = 1;
+                continue;
+            }
+            // first full window
+            int64_t cur = codes[0];
+            int cur_pos = 0;
+            for (int j = 1; j < win; ++j)
+                if (codes[j] < cur) { cur = codes[j]; cur_pos = j; }
+            oc[cnt] = cur; op[cnt] = cur_pos; ++cnt;
+            for (int i = win; i < n_kmers; ++i) {
+                int64_t leaving = codes[i - win];
+                if (leaving == cur) {
+                    // minimum left the window: rescan for the new minimum
+                    // (re-emits even when the value is unchanged — part of
+                    // the contract)
+                    cur = codes[i - win + 1];
+                    cur_pos = i - win + 1;
+                    for (int j = i - win + 2; j <= i; ++j)
+                        if (codes[j] < cur) { cur = codes[j]; cur_pos = j; }
+                    oc[cnt] = cur; op[cnt] = cur_pos; ++cnt;
+                } else if (codes[i] < cur) {
+                    cur = codes[i]; cur_pos = i;
+                    oc[cnt] = cur; op[cnt] = cur_pos; ++cnt;
+                }
+            }
+            out_counts[b] = cnt;
+        }
+    }
 }
 
 }  // extern "C"

@@ -188,10 +188,18 @@ _CHUNK = 512
 def batch_minimizers(
     seqs: List[np.ndarray], k: int, w: int, rank_of: np.ndarray, rank_bits: int
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
-    """Minimizers for a batch of byte sequences: chunked padded-matrix fast
-    path for regular-length reads, per-read fallback for short/edge cases.
-    Sequences shorter than k yield empty results (callers skip them,
+    """Minimizers for a batch of byte sequences: native sequential-scan fast
+    path when the engine is built (bit-identical emissions, see sgdp.cpp),
+    else chunked padded-matrix numpy with a per-read fallback for short/edge
+    cases.  Sequences shorter than k yield empty results (callers skip them,
     matching the contract's ``len(hpol) < k`` guard)."""
+    import os
+
+    if k * rank_bits <= 62 and os.environ.get("NGSID_MINIMIZERS") != "python":
+        from .. import native
+
+        if native.available():
+            return native.minimizers_native(seqs, k, w, rank_of, rank_bits)
     win = w - k + 1
     out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(seqs)
     fast_idx = [i for i, s in enumerate(seqs) if s.size - k + 1 > win]

@@ -73,35 +73,53 @@ def score_and_sort(cfg: Config) -> str:
     seqs: List[str] = []
     quals: List[str] = []
     qual_arrays: List[np.ndarray] = []
+    seq_arrays: List[np.ndarray] = []
     for name, seq, qual in read_fastx(cfg.fastq):
         if qual is None:
             continue
         if len(seq) < 2 * k:
             continue
-        sb = seq_bytes(seq)
-        if hpol_compress_bytes(sb).size < k:
-            continue
         names.append(name)
         seqs.append(seq)
         quals.append(qual)
         qual_arrays.append(qual_bytes(qual))
+        seq_arrays.append(seq_bytes(seq))
 
     n = len(names)
     scores = np.empty(n, dtype=np.float64)
     error_rates = np.empty(n, dtype=np.float64)
+    hpol_ok = np.empty(n, dtype=bool)
     # Bucket by length (descending) so padding in the batched scorer is small.
     order = np.argsort([-q.size for q in qual_arrays], kind="stable")
+
+    from . import native
+    from .utils.phred import PHRED_TO_P, PHRED_TO_P_CAPPED
+
+    use_native = native.available() and os.environ.get("NGSID_STAGE1") != "python"
     for s in range(0, n, _SCORE_BUCKET):
         idx = order[s : s + _SCORE_BUCKET]
         batch = [qual_arrays[i] for i in idx]
-        scores[idx] = batch_scores(batch, k)
-        error_rates[idx] = batch_error_rates(batch, capped=False)
+        if use_native:
+            # fused single pass per read: score + error rate + hpol length
+            # (bit-identical to the numpy path; tests/test_stage1.py)
+            sc, er, hl = native.stage1_stats_native(
+                [seq_arrays[i] for i in idx], batch, k,
+                PHRED_TO_P_CAPPED, PHRED_TO_P)
+            scores[idx] = sc
+            error_rates[idx] = er
+            hpol_ok[idx] = hl >= k
+        else:
+            scores[idx] = batch_scores(batch, k)
+            error_rates[idx] = batch_error_rates(batch, capped=False)
+            hpol_ok[idx] = [
+                hpol_compress_bytes(seq_arrays[i]).size >= k for i in idx
+            ]
 
     # Quality filter: keep reads with 10 * -log10(e) > q_threshold
     # (reference get_sorted:64,147; math.log(e, 10) == log(e)/log(10)).
     with np.errstate(divide="ignore"):
         q_vals = 10.0 * -(np.log(error_rates) / np.log(10.0))
-    keep = q_vals > cfg.quality_threshold
+    keep = hpol_ok & (q_vals > cfg.quality_threshold)
 
     kept_idx = np.flatnonzero(keep)
     kept_scores = scores[kept_idx]

@@ -132,3 +132,74 @@ class TestReadErrorStats:
             h, f = native.read_error_stats_native(seqs[s:s+7], quals[s:s+7], PHRED_TO_P_CAPPED)
             b0.extend(h.tolist()); b1.extend(f.tolist())
         assert a[0].tolist() == b0 and a[1].tolist() == b1
+
+
+class TestStage1StatsNative:
+    def _mk_reads(self, rng, n, lo=26, hi=400):
+        seqs, quals = [], []
+        for _ in range(n):
+            L = int(rng.integers(lo, hi))
+            seqs.append(rng.integers(65, 69, size=L).astype(np.uint8))
+            # full phred range incl. sub-cap chars (ASCII 33/34)
+            quals.append(rng.integers(33, 75, size=L).astype(np.uint8))
+        return seqs, quals
+
+    def test_bit_identical_to_numpy(self, rng):
+        from ngspeciesid_tpu.ops.score import batch_error_rates, batch_scores
+        from ngspeciesid_tpu.utils.phred import PHRED_TO_P, PHRED_TO_P_CAPPED
+        from ngspeciesid_tpu.utils.seqs import hpol_compress_bytes
+
+        k = 13
+        seqs, quals = self._mk_reads(rng, 64)
+        # low-complexity reads so homopolymer compression has bite
+        for _ in range(8):
+            L = int(rng.integers(26, 120))
+            seqs.append((rng.integers(0, 2, size=L) + 65).astype(np.uint8))
+            quals.append(rng.integers(33, 75, size=L).astype(np.uint8))
+        sc, er, hl = native.stage1_stats_native(
+            seqs, quals, k, PHRED_TO_P_CAPPED, PHRED_TO_P)
+        assert np.array_equal(sc, batch_scores(quals, k))
+        assert np.array_equal(er, batch_error_rates(quals, capped=False))
+        assert hl.tolist() == [hpol_compress_bytes(s).size for s in seqs]
+
+    def test_chunked_path(self, rng):
+        from ngspeciesid_tpu.ops.score import batch_scores
+        from ngspeciesid_tpu.utils.phred import PHRED_TO_P, PHRED_TO_P_CAPPED
+
+        k = 9
+        seqs, quals = self._mk_reads(rng, 3, lo=18, hi=60)
+        seqs, quals = seqs * 6000, quals * 6000  # > one 16384 chunk
+        sc, _, _ = native.stage1_stats_native(
+            seqs, quals, k, PHRED_TO_P_CAPPED, PHRED_TO_P)
+        assert np.array_equal(sc[:3], batch_scores(quals[:3], k))
+        assert np.array_equal(sc, np.tile(sc[:3], 6000))
+
+
+class TestMinimizersNative:
+    @pytest.mark.parametrize("k,w", [(13, 20), (15, 50), (5, 9), (3, 3)])
+    def test_matches_numpy_engine(self, rng, k, w):
+        from ngspeciesid_tpu.ops.minimizers import (
+            alphabet_ranks, sequence_minimizers)
+
+        rank_of, rank_bits = alphabet_ranks(
+            np.frombuffer(b"ACGT", dtype=np.uint8))
+        seqs = [rng.integers(65, 69, size=int(n)).astype(np.uint8)
+                for n in rng.integers(k, 300, size=60)]
+        # short/truncated/empty-kmer windows and low-complexity repeats
+        seqs += [rng.integers(65, 67, size=int(n)).astype(np.uint8)
+                 for n in rng.integers(k, max(k + 1, 2 * w), size=30)]
+        got = native.minimizers_native(seqs, k, w, rank_of, rank_bits)
+        for s, (gc, gp) in zip(seqs, got):
+            wc, wp = sequence_minimizers(s, k, w, rank_of, rank_bits)
+            assert gc.tolist() == wc.tolist()
+            assert gp.tolist() == wp.tolist()
+
+    def test_below_k_yields_empty(self):
+        from ngspeciesid_tpu.ops.minimizers import alphabet_ranks
+
+        rank_of, rank_bits = alphabet_ranks(
+            np.frombuffer(b"ACGT", dtype=np.uint8))
+        got = native.minimizers_native(
+            [np.frombuffer(b"ACGTA", dtype=np.uint8)], 13, 20,
+            rank_of, rank_bits)
+        assert got[0][0].size == 0 and got[0][1].size == 0
