@@ -84,8 +84,13 @@ def build_store(
     hpol = [hpol_compress_bytes(s) for s in seq_b]
 
     if rank_of is None:
-        all_bytes = np.unique(np.concatenate(seq_b) if seq_b else np.zeros(0, np.uint8))
-        rank_of, rank_bits = alphabet_ranks(all_bytes)
+        # alphabet detection: linear presence scan (np.unique would sort the
+        # entire concatenated sequence data)
+        present = np.zeros(256, dtype=bool)
+        for s in seq_b:
+            present[s] = True
+        rank_of, rank_bits = alphabet_ranks(
+            np.flatnonzero(present).astype(np.uint8))
     if k * rank_bits > 63:
         raise NotImplementedError(
             f"k={k} with a {1 << rank_bits}-symbol alphabet exceeds 63-bit "

@@ -131,6 +131,35 @@ def available() -> bool:
     return get_lib() is not None
 
 
+# Reusable staging/output buffers.  On hosts with slow memory, per-call
+# np.zeros/np.empty of the padded (B, stride) matrices costs more in page
+# faults than the kernels themselves; these grow monotonically and are
+# reused.  The kernels never read padding bytes (every row is consumed up to
+# its own length), so no zero-fill is needed.  NOT thread-safe — all callers
+# run on the single host control thread (OpenMP parallelism lives inside the
+# C calls).
+_scratch: dict = {}
+
+
+def _scratch_buf(name: str, shape: Tuple[int, ...], dtype) -> np.ndarray:
+    need = 1
+    for d in shape:
+        need *= int(d)
+    buf = _scratch.get(name)
+    if buf is None or buf.size < need or buf.dtype != np.dtype(dtype):
+        buf = np.empty(max(need, 1), dtype=dtype)
+        _scratch[name] = buf
+    return buf[:need].reshape(shape)
+
+
+def _stage_rows(name: str, rows: List[np.ndarray], stride: int) -> np.ndarray:
+    """Pad a ragged list of byte rows into a reused (B, stride) matrix."""
+    mat = _scratch_buf(name, (len(rows), stride), np.uint8)
+    for i, r in enumerate(rows):
+        mat[i, : r.size] = r
+    return mat
+
+
 def align_batch_native(
     pairs: List[Tuple[np.ndarray, np.ndarray]],
     gap_opens: List[int],
@@ -140,19 +169,9 @@ def align_batch_native(
     lib = get_lib()
     assert lib is not None, "native DP engine unavailable"
     B = len(pairs)
-    n_stride = max(a.size for a, _ in pairs)
-    m_stride = max(b.size for _, b in pairs)
-    s1b = np.zeros((B, n_stride), dtype=np.uint8)
-    s2b = np.zeros((B, m_stride), dtype=np.uint8)
-    len1 = np.empty(B, dtype=np.int32)
-    len2 = np.empty(B, dtype=np.int32)
+    s1b, s2b, len1, len2, n_stride, m_stride = _pack_pairs(pairs)
     opens = np.asarray(gap_opens, dtype=np.int32)
-    for i, (a, b) in enumerate(pairs):
-        s1b[i, : a.size] = a
-        s2b[i, : b.size] = b
-        len1[i] = a.size
-        len2[i] = b.size
-    moves_out = np.empty((B, n_stride + m_stride), dtype=np.uint8)
+    moves_out = _scratch_buf("aln.moves", (B, n_stride + m_stride), np.uint8)
     moves_len = np.empty(B, dtype=np.int32)
     scores = np.empty(B, dtype=np.int32)
 
@@ -171,18 +190,12 @@ def align_batch_native(
 
 
 def _pack_pairs(pairs):
-    B = len(pairs)
     n_stride = max(a.size for a, _ in pairs)
     m_stride = max(b.size for _, b in pairs)
-    s1b = np.zeros((B, n_stride), dtype=np.uint8)
-    s2b = np.zeros((B, m_stride), dtype=np.uint8)
-    len1 = np.empty(B, dtype=np.int32)
-    len2 = np.empty(B, dtype=np.int32)
-    for i, (a, b) in enumerate(pairs):
-        s1b[i, : a.size] = a
-        s2b[i, : b.size] = b
-        len1[i] = a.size
-        len2[i] = b.size
+    s1b = _stage_rows("pp.s1", [a for a, _ in pairs], n_stride)
+    s2b = _stage_rows("pp.s2", [b for _, b in pairs], m_stride)
+    len1 = np.array([a.size for a, _ in pairs], dtype=np.int32)
+    len2 = np.array([b.size for _, b in pairs], dtype=np.int32)
     return s1b, s2b, len1, len2, n_stride, m_stride
 
 
@@ -230,13 +243,9 @@ def read_error_stats_native(
                 seqs[s : s + 16384], quals[s : s + 16384], p_table)
         return he, fe
     stride = max((s.size for s in seqs), default=1)
-    sb = np.zeros((B, stride), dtype=np.uint8)
-    qb = np.zeros((B, stride), dtype=np.uint8)
-    lens = np.empty(B, dtype=np.int32)
-    for i, (s, q) in enumerate(zip(seqs, quals)):
-        sb[i, : s.size] = s
-        qb[i, : q.size] = q
-        lens[i] = s.size
+    sb = _stage_rows("es.seq", seqs, stride)
+    qb = _stage_rows("es.qual", quals, stride)
+    lens = np.array([s.size for s in seqs], dtype=np.int32)
     hpol_err = np.empty(B, dtype=np.float64)
     full_err = np.empty(B, dtype=np.float64)
     p_table = np.ascontiguousarray(p_table, dtype=np.float64)
@@ -274,13 +283,9 @@ def stage1_stats_native(
                                     k, p_capped, p_uncapped))
         return sc, er, hl
     stride = max((s.size for s in seqs), default=1)
-    sb = np.zeros((B, stride), dtype=np.uint8)
-    qb = np.zeros((B, stride), dtype=np.uint8)
-    lens = np.empty(B, dtype=np.int32)
-    for i, (s, q) in enumerate(zip(seqs, quals)):
-        sb[i, : s.size] = s
-        qb[i, : q.size] = q
-        lens[i] = s.size
+    sb = _stage_rows("s1.seq", seqs, stride)
+    qb = _stage_rows("s1.qual", quals, stride)
+    lens = np.array([s.size for s in seqs], dtype=np.int32)
     scores = np.empty(B, dtype=np.float64)
     errs = np.empty(B, dtype=np.float64)
     hpol_lens = np.empty(B, dtype=np.int32)
@@ -317,14 +322,11 @@ def minimizers_native(
                                          rank_of, rank_bits))
         return out
     stride = max((s.size for s in seqs), default=1)
-    sb = np.zeros((B, stride), dtype=np.uint8)
-    lens = np.empty(B, dtype=np.int32)
-    for i, s in enumerate(seqs):
-        sb[i, : s.size] = s
-        lens[i] = s.size
-    out_codes = np.empty((B, stride), dtype=np.int64)
-    out_pos = np.empty((B, stride), dtype=np.int64)
-    out_counts = np.empty(B, dtype=np.int32)
+    sb = _stage_rows("min.seq", seqs, stride)
+    lens = np.array([s.size for s in seqs], dtype=np.int32)
+    out_codes = _scratch_buf("min.codes", (B, stride), np.int64)
+    out_pos = _scratch_buf("min.pos", (B, stride), np.int64)
+    out_counts = _scratch_buf("min.counts", (B,), np.int32)
     rank_of = np.ascontiguousarray(rank_of, dtype=np.int64)
 
     def p(arr, typ):
@@ -359,13 +361,10 @@ def pileup_native(
     L = center.size
     B = len(reads)
     rstride = max((r.size for r in reads), default=1)
-    rb = np.zeros((B, rstride), dtype=np.uint8)
-    rlen = np.empty(B, dtype=np.int32)
-    for i, r in enumerate(reads):
-        rb[i, : r.size] = r
-        rlen[i] = r.size
+    rb = _stage_rows("pu.reads", reads, rstride)
+    rlen = np.array([r.size for r in reads], dtype=np.int32)
     has_w = weights is not None
-    wb = np.zeros((B, rstride), dtype=np.float64)
+    wb = _scratch_buf("pu.w", (B, rstride), np.float64)
     if has_w:
         for i, w in enumerate(weights):
             wb[i, : w.size] = w
@@ -373,10 +372,10 @@ def pileup_native(
     qvotes = np.zeros((L, 5), dtype=np.float64)
     coverage = np.zeros(L + 1, dtype=np.float64)
     ev_cap = max(1, int(rlen.sum()))
-    ev_pos = np.empty(ev_cap, dtype=np.int32)
-    ev_w = np.empty(ev_cap, dtype=np.float64)
-    ev_len = np.empty(ev_cap, dtype=np.int32)
-    ev_bytes = np.empty(ev_cap, dtype=np.uint8)
+    ev_pos = _scratch_buf("pu.evpos", (ev_cap,), np.int32)
+    ev_w = _scratch_buf("pu.evw", (ev_cap,), np.float64)
+    ev_len = _scratch_buf("pu.evlen", (ev_cap,), np.int32)
+    ev_bytes = _scratch_buf("pu.evbytes", (ev_cap,), np.uint8)
     n_ev = np.zeros(1, dtype=np.int64)
     n_ev_bytes = np.zeros(1, dtype=np.int64)
 
@@ -397,8 +396,10 @@ def pileup_native(
     )
     ne = int(n_ev[0])
     nb = int(n_ev_bytes[0])
+    # copies: the ev_* buffers are reused scratch
     return (votes, qvotes, coverage,
-            ev_pos[:ne], ev_w[:ne], ev_len[:ne], ev_bytes[:nb])
+            ev_pos[:ne].copy(), ev_w[:ne].copy(),
+            ev_len[:ne].copy(), ev_bytes[:nb].copy())
 
 
 def identity_native(
