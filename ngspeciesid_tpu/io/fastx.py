@@ -51,6 +51,56 @@ def read_fastx(path: str) -> Iterator[Tuple[str, str, Optional[str]]]:
             yield name, seq.decode("ascii"), None
 
 
+def scan_fastq(path: str):
+    """Vectorized scan of a well-formed 4-line fastq.
+
+    Returns ``(data, starts, ends)`` where ``data`` is the whole file as one
+    immutable bytes object and ``starts``/``ends`` are (n_records, 4) int64
+    arrays of the byte ranges of the name (marker excluded), sequence, plus
+    separator and quality lines.  No per-record Python objects are created —
+    callers slice ``data`` (or a uint8 view of it) lazily.
+
+    Returns ``None`` when the file is not strict 4-line fastq (multiline
+    records, fasta, truncated tail) — callers fall back to :func:`read_fastx`,
+    which implements the full readfq contract.
+    """
+    import numpy as np
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data.startswith(b"@"):
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nl = np.flatnonzero(arr == 10)  # '\n'
+    if nl.size == 0:
+        return None
+    n_lines = nl.size + (1 if nl[-1] != arr.size - 1 else 0)
+    if n_lines % 4 != 0:
+        return None
+    # line k spans [line_start[k], line_end[k])
+    line_end = np.empty(n_lines, dtype=np.int64)
+    line_end[: nl.size] = nl
+    if n_lines > nl.size:
+        line_end[-1] = arr.size
+    line_start = np.empty(n_lines, dtype=np.int64)
+    line_start[0] = 0
+    line_start[1:] = line_end[: n_lines - 1] + 1
+    starts = line_start.reshape(-1, 4)
+    ends = line_end.reshape(-1, 4)
+    # strict shape: every record starts '@', separator line starts '+',
+    # len(qual) == len(seq), and no empty header/seq lines
+    if not (
+        np.all(arr[starts[:, 0]] == 64)
+        and np.all(arr[starts[:, 2]] == 43)
+        and np.all(ends[:, 3] - starts[:, 3] == ends[:, 1] - starts[:, 1])
+        and np.all(ends[:, 0] > starts[:, 0])
+    ):
+        return None
+    starts = starts.copy()
+    starts[:, 0] += 1  # drop the '@' marker from the name span
+    return data, starts, ends
+
+
 def write_fastq_records(path: str, records) -> None:
     """Write ``(name, seq, qual)`` records as 4-line fastq."""
     with open(path, "w") as f:

@@ -69,6 +69,14 @@ def score_and_sort(cfg: Config) -> str:
         return outfile
 
     k = cfg.k
+    from . import native
+
+    if native.available() and os.environ.get("NGSID_STAGE1") != "python":
+        if _score_sort_bytes(cfg, outfile, logfile):
+            if cache is not None:
+                cache.record("sort", key, [outfile])
+            return outfile
+
     names: List[str] = []
     seqs: List[str] = []
     quals: List[str] = []
@@ -136,7 +144,14 @@ def score_and_sort(cfg: Config) -> str:
         len(final_idx), cfg.quality_threshold,
     )
 
-    kept_err = np.sort(error_rates[kept_idx])
+    _write_error_rate_log(logfile, error_rates[kept_idx])
+    if cache is not None:
+        cache.record("sort", key, [outfile])
+    return outfile
+
+
+def _write_error_rate_log(logfile, kept_err: np.ndarray) -> None:
+    kept_err = np.sort(kept_err)
     if kept_err.size:
         # Mean over ascending values, sequential sum — matches the reference's
         # post-sort sum (get_sorted:179-183) deterministically.
@@ -147,6 +162,64 @@ def score_and_sort(cfg: Config) -> str:
         logfile.write("Mean read error rate:{0}\n".format(mean_e))
         logfile.write("\n")
     logfile.close()
-    if cache is not None:
-        cache.record("sort", key, [outfile])
-    return outfile
+
+
+def _score_sort_bytes(cfg: Config, outfile: str, logfile) -> bool:
+    """Zero-decode stage 1 for strict 4-line fastq: the file is scanned once
+    into byte-range tables (io/fastx.scan_fastq), per-read stats come from
+    the fused native kernel over buffer views, and sorted.fastq is assembled
+    from buffer slices — no per-read str objects.  Output is byte-identical
+    to the string path (tests/test_stage1.py).  Returns False when the input
+    needs the general readfq parser."""
+    from . import native
+    from .io.fastx import scan_fastq
+    from .utils.phred import PHRED_TO_P, PHRED_TO_P_CAPPED
+
+    scan = scan_fastq(cfg.fastq)
+    if scan is None:
+        return False
+    data, starts, ends = scan
+    arr = np.frombuffer(data, dtype=np.uint8)
+    k = cfg.k
+    seq_lens = ends[:, 1] - starts[:, 1]
+    rows = np.flatnonzero(seq_lens >= 2 * k)
+
+    n = rows.size
+    scores = np.empty(n, dtype=np.float64)
+    error_rates = np.empty(n, dtype=np.float64)
+    hpol_ok = np.empty(n, dtype=bool)
+    # Bucket by length (descending) so padding in the staging matrix is small.
+    order = np.argsort(-seq_lens[rows], kind="stable")
+    for s in range(0, n, _SCORE_BUCKET):
+        idx = order[s : s + _SCORE_BUCKET]
+        sc, er, hl = native.stage1_stats_native(
+            [arr[starts[r, 1] : ends[r, 1]] for r in rows[idx]],
+            [arr[starts[r, 3] : ends[r, 3]] for r in rows[idx]],
+            k, PHRED_TO_P_CAPPED, PHRED_TO_P)
+        scores[idx] = sc
+        error_rates[idx] = er
+        hpol_ok[idx] = hl >= k
+
+    with np.errstate(divide="ignore"):
+        q_vals = 10.0 * -(np.log(error_rates) / np.log(10.0))
+    keep = hpol_ok & (q_vals > cfg.quality_threshold)
+    kept_idx = np.flatnonzero(keep)
+    final_idx = kept_idx[np.argsort(-scores[kept_idx], kind="stable")]
+
+    with open(outfile, "wb") as f:
+        for i in final_idx:
+            r = rows[i]
+            f.write(b"@%s_%s\n%s\n+\n%s\n" % (
+                data[starts[r, 0] : ends[r, 0]],
+                repr(float(scores[i])).encode("ascii"),
+                data[starts[r, 1] : ends[r, 1]],
+                data[starts[r, 3] : ends[r, 3]],
+            ))
+
+    logger.debug(
+        "%d reads passed quality critera (avg phred Q val over %s and length > 2*k) "
+        "and will be clustered.",
+        len(final_idx), cfg.quality_threshold,
+    )
+    _write_error_rate_log(logfile, error_rates[kept_idx])
+    return True
