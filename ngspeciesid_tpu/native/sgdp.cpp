@@ -19,6 +19,11 @@
 #include <omp.h>
 #endif
 
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
+#include <immintrin.h>
+#define NGSID_AVX512 1
+#endif
+
 namespace {
 
 constexpr int32_t NEG_INF = -(1 << 30);
@@ -100,6 +105,55 @@ static void row_pass1(int j_lo, int j_hi, uint8_t c1, int gap_open,
         int32_t diag = H[j - 1] + sub;
         diag_row[j] = diag;
         hne[j] = diag > f ? diag : f;
+    }
+}
+
+// Pass 2: the E-chain running max.  T_j = max(T_{j-1}, g_j) with
+// g_j = hne[j-1] - open + j*ext is an inclusive prefix-max over a drift-
+// corrected sequence; eopen marks chain openings (g_j >= T_{j-1}).  All
+// terms are bounded by |NEG_INF| + m*gap_ext + gap_open << 2^31, so int32
+// arithmetic is exact.  The caller primes hne[j_lo - 1] with H[i][j_lo-1].
+static void row_pass2(int j_lo, int j_hi, int gap_open, int gap_ext,
+                      const int32_t* __restrict__ hne,
+                      int32_t* __restrict__ E_row,
+                      uint8_t* __restrict__ eopen_row) {
+    int32_t T = NEG_INF;
+    int j = j_lo;
+#ifdef NGSID_AVX512
+    const __m512i vneg = _mm512_set1_epi32(NEG_INF);
+    const __m512i vopen = _mm512_set1_epi32(gap_open);
+    const __m512i vext16 = _mm512_set1_epi32(16 * gap_ext);
+    __m512i jext = _mm512_mullo_epi32(
+        _mm512_add_epi32(_mm512_set1_epi32(j_lo),
+                         _mm512_setr_epi32(0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
+        _mm512_set1_epi32(gap_ext));
+    for (; j + 15 <= j_hi; j += 16) {
+        __m512i prev = _mm512_loadu_si512(hne + j - 1);
+        __m512i g = _mm512_add_epi32(_mm512_sub_epi32(prev, vopen), jext);
+        // inclusive prefix max over the 16 lanes
+        __m512i p = g;
+        p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, vneg, 15));
+        p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, vneg, 14));
+        p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, vneg, 12));
+        p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, vneg, 8));
+        __m512i carry = _mm512_set1_epi32(T);
+        // exclusive prefix (previous T per lane) for the eopen test
+        __m512i tex = _mm512_max_epi32(carry,
+                          _mm512_alignr_epi32(p, vneg, 15));
+        __mmask16 ge = _mm512_cmp_epi32_mask(g, tex, _MM_CMPINT_NLT);
+        _mm_storeu_si128((__m128i*)(eopen_row + j),
+                         _mm_maskz_set1_epi8(ge, 1));
+        __m512i tinc = _mm512_max_epi32(carry, p);
+        _mm512_storeu_si512(E_row + j, _mm512_sub_epi32(tinc, jext));
+        T = _mm512_reduce_max_epi32(tinc);
+        jext = _mm512_add_epi32(jext, vext16);
+    }
+#endif
+    for (; j <= j_hi; ++j) {
+        int32_t g = hne[j - 1] - gap_open + j * gap_ext;
+        eopen_row[j] = g >= T;
+        T = g >= T ? g : T;
+        E_row[j] = T - j * gap_ext;
     }
 }
 
@@ -185,19 +239,10 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
         // pass 1 (vectorized): F update + diag + h_no_e
         row_pass1(j_lo, j_hi, c1, gap_open, gap_ext, match, mismatch,
                   s2, H, F, hne, diag_row, fopen_row);
-        // pass 2 (scalar, 1 compare/cell): running max T[j] over
+        // pass 2 (SIMD prefix-max): running max T[j] over
         // g[j] = h_no_e[j-1] - open + j*ext; E[j] = T[j] - j*ext
-        {
-            int64_t T = NEG_INF;
-            int32_t prev_hne = (j_lo == 1) ? 0 : NEG_INF;  // H[i][j_lo-1]
-            for (int j = j_lo; j <= j_hi; ++j) {
-                int64_t g = (int64_t)prev_hne - gap_open + (int64_t)j * gap_ext;
-                eopen_row[j] = g >= T;
-                T = g >= T ? g : T;
-                E_row[j] = (int32_t)(T - (int64_t)j * gap_ext);
-                prev_hne = hne[j];
-            }
-        }
+        hne[j_lo - 1] = (j_lo == 1) ? 0 : NEG_INF;  // H[i][j_lo-1]
+        row_pass2(j_lo, j_hi, gap_open, gap_ext, hne, E_row, eopen_row);
         // pass 3 (vectorized): final H, move byte
         row_pass3(j_lo, j_hi, hne, E_row, F, diag_row, eopen_row,
                   fopen_row, Hn, prow);
