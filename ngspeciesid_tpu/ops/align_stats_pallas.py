@@ -271,6 +271,19 @@ def sg_stats_batch_pallas(
     if not pairs:
         return []
     assert all(1 <= k <= MAX_K for k in ks), f"stats kernel requires k <= {MAX_K}"
+    # Fixed batch tile: chunking bounds the padded batch sizes to the
+    # power-of-two ladder {8..256}, so a production run compiles each
+    # (n, m) length bucket at most ~6 times total and every later batch
+    # reuses a cached program regardless of its size.
+    MAX_B = 256
+    if len(pairs) > MAX_B:
+        out: List[Tuple[float, float, float]] = []
+        for s in range(0, len(pairs), MAX_B):
+            out.extend(sg_stats_batch_pallas(
+                pairs[s:s + MAX_B], gap_opens[s:s + MAX_B], ks[s:s + MAX_B],
+                match_ids[s:s + MAX_B], match=match, mismatch=mismatch,
+                gap_ext=gap_ext, interpret=interpret))
+        return out
     # Coarse shape buckets: Mosaic compiles are expensive (minutes through
     # a remote tunnel), so bound the number of distinct compiled programs
     # the way sg_align_batch does for the move-matrix kernel.
