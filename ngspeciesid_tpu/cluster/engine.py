@@ -305,13 +305,76 @@ def _sorted_candidate_order(store, groups, sum_pos):
     return order
 
 
+def _native_cols(store: ReadStore):
+    """Per-store columnar views for the native decision pass (cached)."""
+    cols = getattr(store, "_native_cols", None)
+    if cols is None:
+        hpol_len = np.array([h.size for h in store.hpol], dtype=np.int64)
+        max_id = int(store.ids.max()) if store.ids.size else 0
+        row_of_id = np.zeros(max_id + 1, dtype=np.int64)
+        row_of_id[store.ids] = np.arange(store.ids.size, dtype=np.int64)
+        cols = (row_of_id, np.ascontiguousarray(store.eidx, dtype=np.int8),
+                hpol_len, np.ascontiguousarray(store.acc_rank, dtype=np.int64))
+        store._native_cols = cols
+    return cols
+
+
 def _decide_waves(
     store: ReadStore, rows: np.ndarray, snap, gap_table: GapPassTable, cfg: Config,
 ) -> List[Tuple[int, List[int]]]:
     """Speculative decisions for a wave of read rows against a frozen DB.
 
     Returns per read: (mapping_decision_rep_or_-1, nr_shared_top_hits,
-    ordered list of alignment-fallback candidate rep ids)."""
+    ordered list of alignment-fallback candidate rep ids).
+
+    Dispatches to the fused C pass (native.decide_wave_native: join +
+    mapping stats + candidate ordering + decision walk in one call,
+    OpenMP over wave reads) unless NGSID_DECIDE=python; the numpy path
+    below is the differential oracle (tests/test_cluster_engine.py)."""
+    import os as _os
+
+    if _os.environ.get("NGSID_DECIDE") != "python":
+        from .. import native
+
+        if native.available():
+            return _decide_waves_native(store, rows, snap, gap_table, cfg)
+    return _decide_waves_np(store, rows, snap, gap_table, cfg)
+
+
+def _decide_waves_native(
+    store: ReadStore, rows: np.ndarray, snap, gap_table: GapPassTable, cfg: Config,
+) -> List[Tuple[int, List[int]]]:
+    from .. import native
+
+    n_wave = rows.size
+    code_rows = [store.min_codes[r] for r in rows.tolist()]
+    lens = np.fromiter((c.size for c in code_rows), dtype=np.int64, count=n_wave)
+    roff = np.zeros(n_wave + 1, dtype=np.int64)
+    np.cumsum(lens, out=roff[1:])
+    codes = (np.concatenate(code_rows) if code_rows
+             else np.zeros(0, dtype=np.int64))
+    pos = (np.concatenate([store.min_pos[r] for r in rows.tolist()])
+           if code_rows else np.zeros(0, dtype=np.int64))
+    row_of_id, eidx, hpol_len, acc_rank = _native_cols(store)
+    decisions, nr_shared, cand_off, cand_flat = native.decide_wave_native(
+        np.ascontiguousarray(codes), np.ascontiguousarray(pos), roff,
+        np.ascontiguousarray(rows, dtype=np.int64),
+        np.ascontiguousarray(store.ids[rows], dtype=np.int64),
+        snap, row_of_id, eidx, hpol_len, acc_rank,
+        np.ascontiguousarray(gap_table.gmax, dtype=np.int64),
+        cfg.min_shared, cfg.min_fraction, cfg.mapped_threshold,
+        cfg.symmetric_map_align_thresholds,
+    )
+    return [
+        (int(decisions[i]), int(nr_shared[i]),
+         cand_flat[cand_off[i] : cand_off[i + 1]].tolist())
+        for i in range(n_wave)
+    ]
+
+
+def _decide_waves_np(
+    store: ReadStore, rows: np.ndarray, snap, gap_table: GapPassTable, cfg: Config,
+) -> List[Tuple[int, List[int]]]:
     n_wave = rows.size
     results: List[Tuple[int, int, List[int]]] = [(-1, 0, []) for _ in range(n_wave)]
     groups = _candidate_groups(store, rows, snap)

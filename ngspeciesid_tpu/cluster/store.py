@@ -21,14 +21,36 @@ from ..utils.seqs import hpol_compress_bytes, hpol_compressed_qual_bytes, seq_by
 from ..utils.phred import qual_bytes
 
 
+class _LazyStrRows:
+    """Sequence of str backed by uint8 rows, decoded per access.
+
+    Strings live only at the I/O edge; store columns keep bytes and decode
+    lazily for the few consumers that need text (output tables, dumps)."""
+
+    __slots__ = ("_rows",)
+
+    def __init__(self, rows: Sequence[np.ndarray]):
+        self._rows = rows
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+    def __getitem__(self, i: int) -> str:
+        return self._rows[i].tobytes().decode("ascii")
+
+    def __iter__(self):
+        for r in self._rows:
+            yield r.tobytes().decode("ascii")
+
+
 @dataclasses.dataclass
 class ReadStore:
     """Immutable per-pass read data, indexed by read/cluster id."""
 
     ids: np.ndarray                 # global read/cluster ids (int64)
     accs: List[str]                 # accession WITH score suffix
-    seqs: List[str]
-    quals: List[str]
+    seqs: Sequence[str]             # lazily-decoded when built from bytes
+    quals: Sequence[str]
     scores: np.ndarray              # float64
     batch_indices: np.ndarray       # previous batch index (merge rounds)
     seq_b: List[np.ndarray]         # uint8
@@ -75,12 +97,21 @@ def build_store(
     ids = np.array([r[0] for r in read_array], dtype=np.int64)
     batch_indices = np.array([r[1] for r in read_array], dtype=np.int64)
     accs = [r[2] for r in read_array]
-    seqs = [r[3] for r in read_array]
-    quals = [r[4] for r in read_array]
     scores = np.array([r[5] for r in read_array], dtype=np.float64)
 
-    seq_b = [seq_bytes(s) for s in seqs]
-    qual_b = [qual_bytes(q) for q in quals]
+    # read tuples may carry seq/qual as str (reference-shaped) or as uint8
+    # buffer views (the zero-decode loader); the store is byte-native either
+    # way and exposes str columns lazily.
+    if n and isinstance(read_array[0][3], np.ndarray):
+        seq_b = [r[3] for r in read_array]
+        qual_b = [r[4] for r in read_array]
+        seqs: Sequence[str] = _LazyStrRows(seq_b)
+        quals: Sequence[str] = _LazyStrRows(qual_b)
+    else:
+        seqs = [r[3] for r in read_array]
+        quals = [r[4] for r in read_array]
+        seq_b = [seq_bytes(s) for s in seqs]
+        qual_b = [qual_bytes(q) for q in quals]
     hpol = [hpol_compress_bytes(s) for s in seq_b]
 
     if rank_of is None:

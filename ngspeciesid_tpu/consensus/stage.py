@@ -38,7 +38,6 @@ from ..utils.seqs import (
     reverse_complement_bytes,
     seq_bytes,
 )
-from ..utils.phred import qual_bytes
 
 logger = logging.getLogger(__name__)
 
@@ -58,7 +57,10 @@ def form_draft_consensus(
     """Batched-POA draft centers for clusters above the abundance cutoff
     (reference consensus.py:249-278).  All qualifying clusters run as one
     lockstep device batch."""
-    reads = {acc: (seq, qual) for acc, seq, qual in read_fastx(sorted_reads_fastq_file)}
+    from ..io.fastx import read_fastx_bytes
+
+    reads = {acc: (seq, qual)
+             for acc, seq, qual in read_fastx_bytes(sorted_reads_fastq_file)}
     centers: List[List] = []
     singletons = 0
     discarded: List[int] = []
@@ -71,13 +73,16 @@ def form_draft_consensus(
         if nr_reads >= abundance_cutoff:
             reads_path = os.path.join(work_dir, f"reads_c_id_{c_id}.fq")
             cluster_seqs: List[np.ndarray] = []
-            with open(reads_path, "w") as f:
+            with open(reads_path, "wb") as f:
+                parts = []
                 for i, acc in enumerate(all_read_acc):
                     if cfg.max_seqs_for_consensus >= 0 and i >= cfg.max_seqs_for_consensus:
                         break
                     seq, qual = reads[acc]
-                    f.write(f"@{acc}\n{seq}\n+\n{qual}\n")
-                    cluster_seqs.append(seq_bytes(seq))
+                    parts.append(b"@" + acc.encode("ascii") + b"\n" + seq.tobytes()
+                                 + b"\n+\n" + qual.tobytes() + b"\n")
+                    cluster_seqs.append(seq)
+                f.write(b"".join(parts))
             batch_reads.append(cluster_seqs)
             batch_meta.append((nr_reads, c_id, reads_path))
         elif nr_reads == 1:
@@ -233,16 +238,19 @@ POLISH_MAX_READS = 1000
 
 def _pooled_reads(all_reads_files: Sequence[str]):
     """Pool member reads of (possibly merged) clusters, dict-dedup by
-    accession like the reference (consensus.py:210-215)."""
+    accession like the reference (consensus.py:210-215).  seq/qual stay
+    uint8 buffer views end-to-end."""
+    from ..io.fastx import read_fastx_bytes
+
     seqs: List[np.ndarray] = []
     quals: List[np.ndarray] = []
     records = []
     for path in all_reads_files:
-        reads = {acc: (seq, qual) for acc, seq, qual in read_fastx(path)}
+        reads = {acc: (seq, qual) for acc, seq, qual in read_fastx_bytes(path)}
         for acc, (seq, qual) in reads.items():
             records.append((acc.split()[0], seq, qual))
-            seqs.append(seq_bytes(seq))
-            quals.append(qual_bytes(qual))
+            seqs.append(seq)
+            quals.append(qual)
     return records, seqs, quals
 
 
@@ -277,9 +285,8 @@ def polish_sequences(centers: List[List], cfg: Config) -> List[List]:
             f.write(f">consensus_cl_id_{c_id}_total_supporting_reads_{nr_reads}\n{center}\n")
         records, seqs, quals = _pooled_reads(all_reads)
         all_reads_file = os.path.join(cfg.outfolder, f"reads_to_consensus_{c_id}.fastq")
-        with open(all_reads_file, "w") as f:
-            for acc, seq, qual in records:
-                f.write(f"@{acc}\n{seq}\n+\n{qual}\n")
+        from ..io.fastx import write_fastq_byte_records
+        write_fastq_byte_records(all_reads_file, records)
 
         if cfg.medaka:
             outdir = os.path.join(cfg.outfolder, f"medaka_cl_id_{c_id}")

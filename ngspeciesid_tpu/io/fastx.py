@@ -101,6 +101,46 @@ def scan_fastq(path: str):
     return data, starts, ends
 
 
+def read_fastx_bytes(path: str):
+    """Yield ``(name, seq, qual)`` with seq/qual as uint8 array views.
+
+    Zero-decode fast path: strict 4-line fastq is scanned once with
+    :func:`scan_fastq` and records are yielded as views into the single file
+    buffer — no per-record string objects for sequence/quality data (the
+    name IS decoded: accessions are short and downstream keying needs str).
+    Falls back to :func:`read_fastx` (full readfq contract) for anything
+    else; ``qual`` is then re-encoded, or None for fasta records.
+    """
+    import numpy as np
+
+    scanned = scan_fastq(path)
+    if scanned is not None:
+        data, starts, ends = scanned
+        arr = np.frombuffer(data, dtype=np.uint8)
+        for r in range(starts.shape[0]):
+            name = data[starts[r, 0] : ends[r, 0]].decode("ascii")
+            yield (name,
+                   arr[starts[r, 1] : ends[r, 1]],
+                   arr[starts[r, 3] : ends[r, 3]])
+        return
+    for name, seq, qual in read_fastx(path):
+        yield (name,
+               np.frombuffer(seq.encode("ascii"), dtype=np.uint8),
+               None if qual is None
+               else np.frombuffer(qual.encode("ascii"), dtype=np.uint8))
+
+
+def write_fastq_byte_records(path: str, records) -> None:
+    """Write ``(name:str, seq:uint8 array, qual:uint8 array)`` records as
+    4-line fastq without materializing per-record strings."""
+    with open(path, "wb") as f:
+        parts = []
+        for name, seq, qual in records:
+            parts.append(b"@" + name.encode("ascii") + b"\n"
+                         + seq.tobytes() + b"\n+\n" + qual.tobytes() + b"\n")
+        f.write(b"".join(parts))
+
+
 def write_fastq_records(path: str, records) -> None:
     """Write ``(name, seq, qual)`` records as 4-line fastq."""
     with open(path, "w") as f:

@@ -115,6 +115,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.stage1_stats_native.restype = None
+        lib.decide_wave_native.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.decide_wave_native.restype = ctypes.c_int64
         lib.minimizers_native.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -340,6 +358,51 @@ def minimizers_native(
     )
     return [(out_codes[b, : out_counts[b]].copy(),
              out_pos[b, : out_counts[b]].copy()) for b in range(B)]
+
+
+def decide_wave_native(
+    codes: np.ndarray, pos: np.ndarray, roff: np.ndarray,
+    wave_rows: np.ndarray, wave_ids: np.ndarray,
+    snap,  # (base_codes, base_off, base_posts, d_codes, d_off, d_posts)
+    row_of_id: np.ndarray, eidx: np.ndarray, hpol_len: np.ndarray,
+    acc_rank: np.ndarray, gmax: np.ndarray,
+    min_shared: int, min_fraction: float, mapped_threshold: float,
+    symmetric: bool,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batched wave decision (engine._decide_waves) in C.  Returns
+    (decisions, nr_shared, cand_off, cand_flat)."""
+    lib = get_lib()
+    assert lib is not None
+    base_codes, base_off, base_posts, d_codes, d_off, d_posts = snap
+    n_wave = int(wave_rows.size)
+    decisions = np.empty(n_wave, dtype=np.int64)
+    nr_shared = np.empty(n_wave, dtype=np.int64)
+    cand_off = np.empty(n_wave + 1, dtype=np.int64)
+    cand_cap = max(8 * n_wave + 64, 1)
+
+    def p(arr, typ):
+        return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+    I = ctypes.c_int64
+    while True:
+        cand_flat = np.empty(cand_cap, dtype=np.int64)
+        need = lib.decide_wave_native(
+            p(codes, I), p(pos, I), p(roff, I),
+            p(wave_rows, I), p(wave_ids, I), n_wave,
+            p(base_codes, I), p(base_off, I), p(base_posts, I),
+            int(base_codes.size),
+            p(d_codes, I), p(d_off, I), p(d_posts, I), int(d_codes.size),
+            p(row_of_id, I),
+            p(eidx, ctypes.c_int8), p(hpol_len, I), p(acc_rank, I),
+            p(gmax, I),
+            int(min_shared), float(min_fraction), float(mapped_threshold),
+            int(symmetric),
+            p(decisions, I), p(nr_shared, I),
+            p(cand_flat, I), cand_cap, p(cand_off, I),
+        )
+        if need == 0:
+            return decisions, nr_shared, cand_off, cand_flat
+        cand_cap = int(need)
 
 
 def pileup_native(

@@ -759,4 +759,199 @@ void minimizers_native(
     }
 }
 
+// Wave decision pass (cluster/engine.py::_decide_waves): for every wave
+// read, join its minimizer emissions against the two sorted CSR posting
+// tables (compacted base + recent-insert delta), accumulate per-candidate
+// hit count / position sum / gap-span mapped length STREAMING in emission
+// order (exactly the numpy segment reduction: integer contributions, so the
+// float64 bincount it replaces is bit-identical), order candidates by
+// (count, sum_pos, accession rank) descending, and run the reference's
+// mapping decision walk (cluster.py:67-127).  Mapping failures with
+// top_hits >= min_shared emit the tied-top candidates for the alignment
+// fallback, in candidate order.
+//
+// Outputs: decisions[i] = rep id or -1; nr_shared[i] = top hit count (0 when
+// no candidates); cand_off (n_wave+1) + cand_flat = per-read fallback
+// candidate lists.  Returns 0 on success, or the required cand_flat
+// capacity when cand_cap is too small (caller retries; nothing written).
+int64_t decide_wave_native(
+    const int64_t* codes, const int64_t* pos, const int64_t* roff,
+    const int64_t* wave_rows, const int64_t* wave_ids, int n_wave,
+    const int64_t* base_codes, const int64_t* base_off,
+    const int64_t* base_posts, int64_t n_base,
+    const int64_t* d_codes, const int64_t* d_off,
+    const int64_t* d_posts, int64_t n_delta,
+    const int64_t* row_of_id,
+    const int8_t* eidx, const int64_t* hpol_len, const int64_t* acc_rank,
+    const int64_t* gmax /* 15 x 15 */,
+    int min_shared, double min_fraction, double mapped_threshold,
+    int symmetric,
+    int64_t* decisions, int64_t* nr_shared,
+    int64_t* cand_flat, int64_t cand_cap, int64_t* cand_off) {
+    struct Cand {
+        int64_t rep;
+        int64_t count;
+        int64_t sum_pos;
+        int64_t mapped;
+        int64_t prev_mi;
+        int64_t prev_pos;
+        int64_t last_mi;   // == prev_mi after updates; kept for clarity
+        int64_t gmax_rc;
+        int64_t rep_row;
+    };
+    std::vector<std::vector<int64_t>> cand_lists((size_t)n_wave);
+
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<Cand> cands;
+        std::vector<int32_t> order;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
+        for (int i = 0; i < n_wave; ++i) {
+            decisions[i] = -1;
+            nr_shared[i] = 0;
+            const int64_t self_id = wave_ids[i];
+            const int64_t read_row = wave_rows[i];
+            const int8_t e_read = eidx[read_row];
+            const int64_t n_min = roff[i + 1] - roff[i];
+            cands.clear();
+            // hash: rep id -> candidate slot (open addressing, pow2 size)
+            size_t hcap = 64;
+            std::vector<int64_t> hkey(hcap, -1);
+            std::vector<int32_t> hval(hcap);
+            auto grow = [&]() {
+                size_t ncap = hcap * 2;
+                std::vector<int64_t> nk(ncap, -1);
+                std::vector<int32_t> nv(ncap);
+                for (size_t s = 0; s < hcap; ++s) {
+                    if (hkey[s] < 0) continue;
+                    size_t h = (size_t)(hkey[s] * 0x9E3779B97F4A7C15ULL) & (ncap - 1);
+                    while (nk[h] >= 0) h = (h + 1) & (ncap - 1);
+                    nk[h] = hkey[s]; nv[h] = hval[s];
+                }
+                hkey.swap(nk); hval.swap(nv); hcap = ncap;
+            };
+            auto hit = [&](int64_t rep, int64_t mi, int64_t p) {
+                if (rep == self_id) return;
+                size_t h = (size_t)(rep * 0x9E3779B97F4A7C15ULL) & (hcap - 1);
+                while (hkey[h] >= 0 && hkey[h] != rep) h = (h + 1) & (hcap - 1);
+                int32_t ci;
+                if (hkey[h] < 0) {
+                    if (cands.size() * 2 >= hcap) {
+                        grow();
+                        h = (size_t)(rep * 0x9E3779B97F4A7C15ULL) & (hcap - 1);
+                        while (hkey[h] >= 0 && hkey[h] != rep) h = (h + 1) & (hcap - 1);
+                    }
+                    hkey[h] = rep;
+                    ci = (int32_t)cands.size();
+                    hval[h] = ci;
+                    Cand c;
+                    c.rep = rep;
+                    c.rep_row = row_of_id[rep];
+                    c.count = 0; c.sum_pos = 0; c.mapped = 0;
+                    c.prev_mi = -1; c.prev_pos = 0; c.last_mi = -1;
+                    c.gmax_rc = gmax[(size_t)e_read * 15 + eidx[c.rep_row]];
+                    cands.push_back(c);
+                } else {
+                    ci = hval[h];
+                }
+                Cand& c = cands[ci];
+                // gap-span mapped accumulation (numpy _mapping_stats):
+                // first hit: gap = mi, contrib = p; later: gap = mi-prev-1,
+                // contrib = p - prev_pos
+                int64_t gap = (c.prev_mi < 0) ? mi : mi - c.prev_mi - 1;
+                int64_t contrib = (c.prev_mi < 0) ? p : p - c.prev_pos;
+                if (gap <= c.gmax_rc) c.mapped += contrib;
+                c.prev_mi = mi; c.prev_pos = p; c.last_mi = mi;
+                c.count += 1;
+                c.sum_pos += p;
+            };
+            for (int64_t t = roff[i]; t < roff[i + 1]; ++t) {
+                const int64_t code = codes[t];
+                const int64_t mi = t - roff[i];
+                const int64_t p = pos[t];
+                if (n_base) {
+                    const int64_t* lo = std::lower_bound(
+                        base_codes, base_codes + n_base, code);
+                    if (lo != base_codes + n_base && *lo == code) {
+                        int64_t ci = lo - base_codes;
+                        for (int64_t q = base_off[ci]; q < base_off[ci + 1]; ++q)
+                            hit(base_posts[q], mi, p);
+                    }
+                }
+                if (n_delta) {
+                    const int64_t* lo = std::lower_bound(
+                        d_codes, d_codes + n_delta, code);
+                    if (lo != d_codes + n_delta && *lo == code) {
+                        int64_t ci = lo - d_codes;
+                        for (int64_t q = d_off[ci]; q < d_off[ci + 1]; ++q)
+                            hit(d_posts[q], mi, p);
+                    }
+                }
+            }
+            if (cands.empty()) continue;
+            // tail span + ratios
+            const double l_comp = (double)hpol_len[read_row];
+            order.resize(cands.size());
+            for (size_t c = 0; c < cands.size(); ++c) {
+                Cand& cd = cands[c];
+                int64_t tail_gap = n_min - cd.last_mi - 1;
+                if (tail_gap <= cd.gmax_rc)
+                    cd.mapped += hpol_len[read_row] - cd.prev_pos;
+                order[c] = (int32_t)c;
+            }
+            // (count, sum_pos, acc_rank) descending — unique total order
+            std::sort(order.begin(), order.end(),
+                      [&](int32_t a, int32_t b) {
+                          const Cand& x = cands[a];
+                          const Cand& y = cands[b];
+                          if (x.count != y.count) return x.count > y.count;
+                          if (x.sum_pos != y.sum_pos) return x.sum_pos > y.sum_pos;
+                          return acc_rank[x.rep_row] > acc_rank[y.rep_row];
+                      });
+            const int64_t top = cands[order[0]].count;
+            nr_shared[i] = top;
+            int64_t decision = -1;
+            if (top >= min_shared) {
+                for (size_t t = 0; t < order.size(); ++t) {
+                    const Cand& c = cands[order[t]];
+                    if ((double)c.count < min_fraction * (double)top
+                        || c.count < min_shared)
+                        break;
+                    double r1 = (double)c.mapped / l_comp;
+                    bool ok;
+                    if (symmetric) {
+                        double r2 = (double)c.mapped / (double)hpol_len[c.rep_row];
+                        ok = (r1 < r2 ? r1 : r2) > mapped_threshold;
+                    } else {
+                        ok = r1 > mapped_threshold;
+                    }
+                    if (ok) { decision = c.rep; break; }
+                }
+            }
+            decisions[i] = decision;
+            if (decision < 0 && top >= min_shared) {
+                std::vector<int64_t>& out = cand_lists[i];
+                for (size_t t = 0; t < order.size(); ++t) {
+                    if (cands[order[t]].count < top) break;
+                    out.push_back(cands[order[t]].rep);
+                }
+            }
+        }
+    }
+    int64_t total = 0;
+    for (int i = 0; i < n_wave; ++i) total += (int64_t)cand_lists[i].size();
+    if (total > cand_cap) return total;
+    int64_t off = 0;
+    for (int i = 0; i < n_wave; ++i) {
+        cand_off[i] = off;
+        for (int64_t r : cand_lists[i]) cand_flat[off++] = r;
+    }
+    cand_off[n_wave] = off;
+    return 0;
+}
+
 }  // extern "C"

@@ -289,8 +289,8 @@ def distributed_clustering(
         surviving.sort(key=lambda rid: -store.scores[store.row(rid)])
         read_array = [
             (rid, int(store.batch_indices[store.row(rid)]),
-             store.accs[store.row(rid)], store.seqs[store.row(rid)],
-             store.quals[store.row(rid)], float(store.scores[store.row(rid)]))
+             store.accs[store.row(rid)], store.seq_b[store.row(rid)],
+             store.qual_b[store.row(rid)], float(store.scores[store.row(rid)]))
             for rid in surviving
         ]
         pruned = {rid: all_clusters[rid] for rid in surviving}

@@ -32,19 +32,25 @@ ReadArray = List[Tuple[int, int, str, str, str, float]]
 
 def load_read_array(sorted_path: str, cfg: Config) -> ReadArray:
     """Sorted fastq -> reference-shaped read tuples, with the optional
-    length-window filter and subsampling (reference NGSpeciesID:54-63)."""
+    length-window filter and subsampling (reference NGSpeciesID:54-63).
+
+    seq/qual are uint8 buffer views (zero-decode, io/fastx.read_fastx_bytes);
+    every downstream consumer (store build, shard balancing, engine) works on
+    bytes — strings are materialized only at output edges."""
+    from .io.fastx import read_fastx_bytes
+
     if cfg.target_length > 0 and cfg.target_deviation > 0:
         lo = cfg.target_length - cfg.target_deviation
         hi = cfg.target_length + cfg.target_deviation
         read_array = [
             (i, 0, acc, seq, qual, float(acc.split("_")[-1]))
-            for i, (acc, seq, qual) in enumerate(read_fastx(sorted_path))
+            for i, (acc, seq, qual) in enumerate(read_fastx_bytes(sorted_path))
             if lo <= len(seq) <= hi
         ]
     else:
         read_array = [
             (i, 0, acc, seq, qual, float(acc.split("_")[-1]))
-            for i, (acc, seq, qual) in enumerate(read_fastx(sorted_path))
+            for i, (acc, seq, qual) in enumerate(read_fastx_bytes(sorted_path))
         ]
     if cfg.top_reads:
         read_array = read_array[: cfg.sample_size]
