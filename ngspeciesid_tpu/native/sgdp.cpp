@@ -45,6 +45,7 @@ struct DpScratch {
     std::vector<uint8_t> packed;
     std::vector<int32_t> jlo, jhi;
     std::vector<int32_t> H, Hn, F, hne, diag_row, E_row;
+    std::vector<int16_t> H16, Hn16, F16, hne16, diag16, E16;
     std::vector<uint8_t> fopen_row, eopen_row;
     std::vector<uint8_t> moves;
     int band_stride = 0;
@@ -72,7 +73,10 @@ struct DpScratch {
         if ((int)H.size() < m + 1) {
             H.resize(m + 1); Hn.resize(m + 1); F.resize(m + 1);
             hne.resize(m + 1); diag_row.resize(m + 1); E_row.resize(m + 1);
-            fopen_row.resize(m + 1); eopen_row.resize(m + 1);
+            // +32: pass-2 SIMD loads run up to a full vector past j_hi
+            H16.resize(m + 33); Hn16.resize(m + 33); F16.resize(m + 33);
+            hne16.resize(m + 33); diag16.resize(m + 33); E16.resize(m + 33);
+            fopen_row.resize(m + 33); eopen_row.resize(m + 33);
         }
         if ((int)moves.size() < n + m) moves.resize(n + m);
     }
@@ -83,26 +87,52 @@ struct DpScratch {
     }
 };
 
+// Narrow-lane support: for pairs whose every DP quantity provably fits in
+// int16 (see fits_int16 below) the whole row pipeline runs at twice the
+// SIMD width.  The arithmetic is identical integer arithmetic — no
+// saturation can occur under the gate — so moves/scores are bit-identical
+// to the int32 path (differential-tested in tests/test_native.py).
+constexpr int16_t NEG_INF16 = -16384;
+
+template <typename T> struct CellTraits;
+template <> struct CellTraits<int32_t> {
+    static constexpr int32_t NEG = NEG_INF;
+};
+template <> struct CellTraits<int16_t> {
+    static constexpr int16_t NEG = NEG_INF16;
+};
+
+// Every sentinel-derived value stays above NEG - (n+m)*unit - open and every
+// real value below unit*min(n,m) + m*ext; with NEG16 = -16384 both fit int16
+// when this bound holds.
+inline bool fits_int16(int n, int m, int match, int mismatch,
+                       int gap_open, int gap_ext) {
+    long unit = std::max({(long)gap_ext, (long)match, (long)-mismatch,
+                          (long)gap_open});
+    return (long)(n + m + 2) * unit + gap_open + 64 <= 16000;
+}
+
 // Row passes extracted into functions so the no-alias contract is carried
 // by PARAMETER __restrict__ — robust against the H/Hn pointer swap in the
 // caller, which otherwise defeats block-scope restrict and costs the
 // vectorization of these loops (measured 2.6x).
+template <typename T>
 static void row_pass1(int j_lo, int j_hi, uint8_t c1, int gap_open,
                       int gap_ext, int match, int mismatch,
                       const uint8_t* __restrict__ s2,
-                      const int32_t* __restrict__ H,
-                      int32_t* __restrict__ F,
-                      int32_t* __restrict__ hne,
-                      int32_t* __restrict__ diag_row,
+                      const T* __restrict__ H,
+                      T* __restrict__ F,
+                      T* __restrict__ hne,
+                      T* __restrict__ diag_row,
                       uint8_t* __restrict__ fopen_row) {
     for (int j = j_lo; j <= j_hi; ++j) {
-        int32_t f_open = H[j] - gap_open;
-        int32_t f_ext = F[j] - gap_ext;
-        int32_t f = f_open >= f_ext ? f_open : f_ext;
+        T f_open = (T)(H[j] - gap_open);
+        T f_ext = (T)(F[j] - gap_ext);
+        T f = f_open >= f_ext ? f_open : f_ext;
         fopen_row[j] = f_open >= f_ext;
         F[j] = f;
-        int32_t sub = (s2[j - 1] == c1) ? match : mismatch;
-        int32_t diag = H[j - 1] + sub;
+        T sub = (s2[j - 1] == c1) ? (T)match : (T)mismatch;
+        T diag = (T)(H[j - 1] + sub);
         diag_row[j] = diag;
         hne[j] = diag > f ? diag : f;
     }
@@ -111,8 +141,8 @@ static void row_pass1(int j_lo, int j_hi, uint8_t c1, int gap_open,
 // Pass 2: the E-chain running max.  T_j = max(T_{j-1}, g_j) with
 // g_j = hne[j-1] - open + j*ext is an inclusive prefix-max over a drift-
 // corrected sequence; eopen marks chain openings (g_j >= T_{j-1}).  All
-// terms are bounded by |NEG_INF| + m*gap_ext + gap_open << 2^31, so int32
-// arithmetic is exact.  The caller primes hne[j_lo - 1] with H[i][j_lo-1].
+// terms are bounded by |NEG| + m*gap_ext + gap_open, which the lane-width
+// gate keeps exact.  The caller primes hne[j_lo - 1] with H[i][j_lo-1].
 static void row_pass2(int j_lo, int j_hi, int gap_open, int gap_ext,
                       const int32_t* __restrict__ hne,
                       int32_t* __restrict__ E_row,
@@ -157,18 +187,83 @@ static void row_pass2(int j_lo, int j_hi, int gap_open, int gap_ext,
     }
 }
 
+// int16 variant: 32 lanes per vector.  Full-vector 16-bit lane shifts use
+// permutexvar_epi16 with merge-masking from the NEG vector (alignr_epi8
+// only shifts within 128-bit lanes).
+static void row_pass2(int j_lo, int j_hi, int gap_open, int gap_ext,
+                      const int16_t* __restrict__ hne,
+                      int16_t* __restrict__ E_row,
+                      uint8_t* __restrict__ eopen_row) {
+    int16_t T = NEG_INF16;
+    int j = j_lo;
+#if defined(NGSID_AVX512)
+    const __m512i vneg = _mm512_set1_epi16(NEG_INF16);
+    const __m512i vopen = _mm512_set1_epi16((int16_t)gap_open);
+    const __m512i vext32 = _mm512_set1_epi16((int16_t)(32 * gap_ext));
+    __m512i lane = _mm512_setr_epi32(0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15);
+    // per-lane indices 0..31 as epi16
+    alignas(64) int16_t idx_buf[32];
+    for (int t = 0; t < 32; ++t) idx_buf[t] = (int16_t)t;
+    const __m512i lanes16 = _mm512_load_si512(idx_buf);
+    (void)lane;
+    __m512i jext = _mm512_mullo_epi16(
+        _mm512_add_epi16(_mm512_set1_epi16((int16_t)j_lo), lanes16),
+        _mm512_set1_epi16((int16_t)gap_ext));
+    // shift-by-k index vectors: dst lane i reads src lane i-k (i >= k)
+    alignas(64) int16_t sbuf[32];
+    __m512i shift_idx[6];
+    __mmask32 shift_msk[6];
+    for (int s = 0, k = 1; k <= 32; ++s, k <<= 1) {
+        for (int t = 0; t < 32; ++t) sbuf[t] = (int16_t)((t - k) & 31);
+        shift_idx[s] = _mm512_load_si512(sbuf);
+        shift_msk[s] = (k >= 32) ? 0 : (~(__mmask32)0) << k;
+    }
+    for (; j + 31 <= j_hi; j += 32) {
+        __m512i prev = _mm512_loadu_si512(hne + j - 1);
+        __m512i g = _mm512_add_epi16(_mm512_sub_epi16(prev, vopen), jext);
+        __m512i p = g;
+        for (int s = 0; s < 5; ++s)
+            p = _mm512_max_epi16(
+                p, _mm512_mask_permutexvar_epi16(vneg, shift_msk[s],
+                                                 shift_idx[s], p));
+        __m512i carry = _mm512_set1_epi16(T);
+        __m512i tex = _mm512_max_epi16(
+            carry, _mm512_mask_permutexvar_epi16(vneg, shift_msk[0],
+                                                 shift_idx[0], p));
+        __mmask32 ge = _mm512_cmp_epi16_mask(g, tex, _MM_CMPINT_NLT);
+        _mm256_storeu_si256((__m256i*)(eopen_row + j),
+                            _mm256_maskz_set1_epi8(ge, 1));
+        __m512i tinc = _mm512_max_epi16(carry, p);
+        _mm512_storeu_si512(E_row + j, _mm512_sub_epi16(tinc, jext));
+        // tinc is nondecreasing across lanes (prefix max + carry): lane 31
+        // holds the running max
+        alignas(64) int16_t tb[32];
+        _mm512_store_si512(tb, tinc);
+        T = tb[31];
+        jext = _mm512_add_epi16(jext, vext32);
+    }
+#endif
+    for (; j <= j_hi; ++j) {
+        int16_t g = (int16_t)(hne[j - 1] - gap_open + j * gap_ext);
+        eopen_row[j] = g >= T;
+        T = g >= T ? g : T;
+        E_row[j] = (int16_t)(T - j * gap_ext);
+    }
+}
+
+template <typename T>
 static void row_pass3(int j_lo, int j_hi,
-                      const int32_t* __restrict__ hne,
-                      const int32_t* __restrict__ E_row,
-                      const int32_t* __restrict__ F,
-                      const int32_t* __restrict__ diag_row,
+                      const T* __restrict__ hne,
+                      const T* __restrict__ E_row,
+                      const T* __restrict__ F,
+                      const T* __restrict__ diag_row,
                       const uint8_t* __restrict__ eopen_row,
                       const uint8_t* __restrict__ fopen_row,
-                      int32_t* __restrict__ Hn,
+                      T* __restrict__ Hn,
                       uint8_t* __restrict__ prow) {
     for (int j = j_lo; j <= j_hi; ++j) {
-        int32_t h = hne[j];
-        int32_t e = E_row[j];
+        T h = hne[j];
+        T e = E_row[j];
         uint8_t mv = e > h ? MV_LEFT
                    : (F[j] > diag_row[j] ? MV_UP : MV_DIAG);
         Hn[j] = e > h ? e : h;
@@ -177,33 +272,51 @@ static void row_pass3(int j_lo, int j_hi,
     }
 }
 
+template <typename T>
+inline void scratch_rows(DpScratch& scr, T*& H, T*& Hn, T*& F, T*& hne,
+                         T*& diag_row, T*& E_row);
+template <>
+inline void scratch_rows<int32_t>(DpScratch& scr, int32_t*& H, int32_t*& Hn,
+                                  int32_t*& F, int32_t*& hne,
+                                  int32_t*& diag_row, int32_t*& E_row) {
+    H = scr.H.data(); Hn = scr.Hn.data(); F = scr.F.data();
+    hne = scr.hne.data(); diag_row = scr.diag_row.data();
+    E_row = scr.E_row.data();
+}
+template <>
+inline void scratch_rows<int16_t>(DpScratch& scr, int16_t*& H, int16_t*& Hn,
+                                  int16_t*& F, int16_t*& hne,
+                                  int16_t*& diag_row, int16_t*& E_row) {
+    H = scr.H16.data(); Hn = scr.Hn16.data(); F = scr.F16.data();
+    hne = scr.hne16.data(); diag_row = scr.diag16.data();
+    E_row = scr.E16.data();
+}
+
 // One pair's DP; move bytes band-compressed into scratch (see DpScratch).
 // band_hw > 0 computes only columns within +-band_hw of the scaled main
 // diagonal c_i = i*m/n (plus the |m-n| skew) — exact whenever the optimal
 // path stays inside the band, which holds for same-template amplicon pairs
 // at any realistic indel rate; band_hw <= 0 is the full (reference-exact) DP.
-void dp_single(const uint8_t* s1, const uint8_t* s2,
-               int len1, int len2, int gap_open,
-               int match, int mismatch, int gap_ext,
-               int band_hw,
-               DpScratch& scr,
-               PairResult* res) {
+template <typename T>
+void dp_single_impl(const uint8_t* s1, const uint8_t* s2,
+                    int len1, int len2, int gap_open,
+                    int match, int mismatch, int gap_ext,
+                    int band_hw,
+                    DpScratch& scr,
+                    PairResult* res) {
     const int m = len2, n = len1;
+    constexpr T NEG = CellTraits<T>::NEG;
     scr.prepare(n, m, band_hw);
-    // __restrict__: the scratch rows never alias each other (distinct
-    // vectors); without it the uint8_t rows legally alias everything and
-    // the compiler cannot vectorize passes 1/3.
-    int32_t* __restrict__ H = scr.H.data();
-    int32_t* __restrict__ Hn = scr.Hn.data();
-    int32_t* __restrict__ F = scr.F.data();
-    int32_t* __restrict__ hne = scr.hne.data();
-    int32_t* __restrict__ diag_row = scr.diag_row.data();
-    int32_t* __restrict__ E_row = scr.E_row.data();
+    // No-alias contracts live on the row-pass PARAMETERS (__restrict__
+    // there); these locals are plain pointers so the H/Hn swap stays legal.
+    T *H, *Hn, *F, *hne, *diag_row, *E_row;
+    scratch_rows<T>(scr, H, Hn, F, hne, diag_row, E_row);
     uint8_t* __restrict__ fopen_row = scr.fopen_row.data();
     uint8_t* __restrict__ eopen_row = scr.eopen_row.data();
-    for (int j = 0; j <= m; ++j) { H[j] = 0; Hn[j] = NEG_INF; F[j] = NEG_INF; }
+    for (int j = 0; j <= m; ++j) { H[j] = 0; Hn[j] = NEG; F[j] = NEG; }
 
-    int32_t col_best = H[m], col_best_i = 0;   // last column j == len2
+    T col_best = H[m];
+    int col_best_i = 0;                        // last column j == len2
     scr.jlo[0] = 1; scr.jhi[0] = 0;            // row 0 holds no move cells
 
     const bool banded = band_hw > 0 && n > 0;
@@ -225,7 +338,7 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
             // E-chain (this row) and the diagonal (next row) read from the
             // double-buffered rows.  Clearing just that cell keeps the DP
             // O(n * band) instead of O(n * m).
-            if (j_lo > 1) Hn[j_lo - 1] = NEG_INF;
+            if (j_lo > 1) Hn[j_lo - 1] = NEG;
         }
         Hn[0] = 0;
         scr.jlo[i] = j_lo; scr.jhi[i] = j_hi;
@@ -241,7 +354,7 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
                   s2, H, F, hne, diag_row, fopen_row);
         // pass 2 (SIMD prefix-max): running max T[j] over
         // g[j] = h_no_e[j-1] - open + j*ext; E[j] = T[j] - j*ext
-        hne[j_lo - 1] = (j_lo == 1) ? 0 : NEG_INF;  // H[i][j_lo-1]
+        hne[j_lo - 1] = (j_lo == 1) ? (T)0 : NEG;  // H[i][j_lo-1]
         row_pass2(j_lo, j_hi, gap_open, gap_ext, hne, E_row, eopen_row);
         // pass 3 (vectorized): final H, move byte
         row_pass3(j_lo, j_hi, hne, E_row, F, diag_row, eopen_row,
@@ -255,8 +368,8 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
     // the final row actually wrote (plus the always-valid j = 0).
     int scan_lo = (n == 0) ? 1 : scr.jlo[n];
     int scan_hi = (n == 0) ? m : scr.jhi[n];
-    int32_t row_best = H[0];
-    int32_t row_best_j = 0;
+    T row_best = H[0];
+    int row_best_j = 0;
     for (int j = scan_lo; j <= scan_hi; ++j)
         if (H[j] >= row_best) { row_best = H[j]; row_best_j = j; }
     if (row_best >= col_best) {
@@ -264,6 +377,21 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
     } else {
         res->score = col_best; res->end_i = col_best_i; res->end_j = m;
     }
+}
+
+// Lane-width dispatch: int16 when exactness is provable, else int32.
+void dp_single(const uint8_t* s1, const uint8_t* s2,
+               int len1, int len2, int gap_open,
+               int match, int mismatch, int gap_ext,
+               int band_hw,
+               DpScratch& scr,
+               PairResult* res) {
+    if (fits_int16(len1, len2, match, mismatch, gap_open, gap_ext))
+        dp_single_impl<int16_t>(s1, s2, len1, len2, gap_open, match,
+                                mismatch, gap_ext, band_hw, scr, res);
+    else
+        dp_single_impl<int32_t>(s1, s2, len1, len2, gap_open, match,
+                                mismatch, gap_ext, band_hw, scr, res);
 }
 
 // Traceback into moves_out (caller-allocated n+m bytes); returns length.
