@@ -153,20 +153,22 @@ def available() -> bool:
 # np.zeros/np.empty of the padded (B, stride) matrices costs more in page
 # faults than the kernels themselves; these grow monotonically and are
 # reused.  The kernels never read padding bytes (every row is consumed up to
-# its own length), so no zero-fill is needed.  NOT thread-safe — all callers
-# run on the single host control thread (OpenMP parallelism lives inside the
-# C calls).
-_scratch: dict = {}
+# its own length), so no zero-fill is needed.  Thread-local: the production
+# pipeline calls from one control thread per process, but the ThreadWorld
+# distributed transport (and any threaded embedder) runs several ranks as
+# threads of one process — a shared buffer would race.
+_scratch = threading.local()
 
 
 def _scratch_buf(name: str, shape: Tuple[int, ...], dtype) -> np.ndarray:
     need = 1
     for d in shape:
         need *= int(d)
-    buf = _scratch.get(name)
+    store = _scratch.__dict__
+    buf = store.get(name)
     if buf is None or buf.size < need or buf.dtype != np.dtype(dtype):
         buf = np.empty(max(need, 1), dtype=dtype)
-        _scratch[name] = buf
+        store[name] = buf
     return buf[:need].reshape(shape)
 
 
