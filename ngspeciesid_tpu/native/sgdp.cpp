@@ -46,6 +46,8 @@ struct DpScratch {
     std::vector<int32_t> jlo, jhi;
     std::vector<int32_t> H, Hn, F, hne, diag_row, E_row;
     std::vector<int16_t> H16, Hn16, F16, hne16, diag16, E16;
+    std::vector<int16_t> g16, p16, cbuf16;   // fused-row pipeline scratch
+    std::vector<uint32_t> fmask32;
     std::vector<uint8_t> fopen_row, eopen_row;
     std::vector<uint8_t> moves;
     int band_stride = 0;
@@ -67,17 +69,23 @@ struct DpScratch {
 
     void prepare(int n, int m, int band_hw) {
         band_stride = max_band_width(n, m, band_hw);
-        size_t need = (size_t)(n + 1) * band_stride;
+        // +64: the fused row pipeline writes full 32-byte move vectors that
+        // may overrun a row's end into the next row (rewritten before any
+        // read) and past the final row's end.
+        size_t need = (size_t)(n + 1) * band_stride + 64;
         if (packed.size() < need) packed.resize(need);
         if ((int)jlo.size() < n + 1) { jlo.resize(n + 1); jhi.resize(n + 1); }
         if ((int)H.size() < m + 1) {
             H.resize(m + 1); Hn.resize(m + 1); F.resize(m + 1);
             hne.resize(m + 1); diag_row.resize(m + 1); E_row.resize(m + 1);
-            // +32: pass-2 SIMD loads run up to a full vector past j_hi
+            // +33: SIMD loads/stores run up to a full vector past j_hi
             H16.resize(m + 33); Hn16.resize(m + 33); F16.resize(m + 33);
             hne16.resize(m + 33); diag16.resize(m + 33); E16.resize(m + 33);
+            g16.resize(m + 33); p16.resize(m + 33);
             fopen_row.resize(m + 33); eopen_row.resize(m + 33);
         }
+        int nvec = m / 32 + 2;
+        if ((int)fmask32.size() < nvec) { fmask32.resize(nvec); cbuf16.resize(nvec); }
         if ((int)moves.size() < n + m) moves.resize(n + m);
     }
 
@@ -379,6 +387,136 @@ void dp_single_impl(const uint8_t* s1, const uint8_t* s2,
     }
 }
 
+#ifdef NGSID_AVX512
+// Fused int16 row pipeline for the full (unbanded) DP — the production
+// parity mode.  Bit-identical to the 3-pass rows: the only change is the
+// evaluation schedule of the E-chain running max, decomposed into
+// independent per-32-lane-block prefix maxima plus a scalar running carry
+// that streams one block behind (pipelined across blocks — the 3-pass
+// version serializes a ~35-cycle permute chain per vector).  Max is
+// associative over these exact integer values, so every cell and move byte
+// is unchanged (differential-tested move-level vs the numpy oracle in
+// tests/test_native.py).  Single pass per row: the only cross-iteration
+// dependences are three one-behind registers (prev hne / prev prefix /
+// scalar carry), so the loop is throughput-bound, not latency-bound.
+void dp_single_fused_i16(const uint8_t* s1, const uint8_t* s2,
+                         int len1, int len2, int gap_open,
+                         int match, int mismatch, int gap_ext,
+                         DpScratch& scr, PairResult* res) {
+    const int m = len2, n = len1;
+    constexpr int16_t NEG = NEG_INF16;
+    scr.prepare(n, m, 0);
+    int16_t* H = scr.H16.data();
+    int16_t* Hn = scr.Hn16.data();
+    int16_t* Fr = scr.F16.data();
+    for (int j = 0; j <= m; ++j) { H[j] = 0; Hn[j] = NEG; Fr[j] = NEG; }
+    // beyond-m lanes participate in full-vector arithmetic as garbage but
+    // never feed a consumed cell; zero them once so values stay bounded
+    for (int j = m + 1; j < m + 33; ++j) { H[j] = 0; Hn[j] = 0; Fr[j] = 0; }
+
+    int16_t col_best = 0;
+    int col_best_i = 0;
+    scr.jlo[0] = 1; scr.jhi[0] = 0;
+
+    const __m512i vneg = _mm512_set1_epi16(NEG);
+    const __m512i vopen = _mm512_set1_epi16((int16_t)gap_open);
+    const __m512i vext = _mm512_set1_epi16((int16_t)gap_ext);
+    const __m512i vext32 = _mm512_set1_epi16((int16_t)(32 * gap_ext));
+    const __m512i vmatch = _mm512_set1_epi16((int16_t)match);
+    const __m512i vmis = _mm512_set1_epi16((int16_t)mismatch);
+    alignas(64) int16_t ib[32];
+    // shift-by-1 across the (prev, cur) pair: lane 0 <- prev[31], lane t <- cur[t-1]
+    ib[0] = 31;
+    for (int t = 1; t < 32; ++t) ib[t] = (int16_t)(32 + t - 1);
+    const __m512i sh1 = _mm512_load_si512(ib);
+    // within-vector prefix-max shift tables (lane i <- lane i-k, NEG below)
+    __m512i shift_idx[5];
+    __mmask32 shift_msk[5];
+    for (int s = 0, k = 1; s < 5; ++s, k <<= 1) {
+        for (int t = 0; t < 32; ++t) ib[t] = (int16_t)((t - k) & 31);
+        shift_idx[s] = _mm512_load_si512(ib);
+        shift_msk[s] = (~(__mmask32)0) << k;
+    }
+    for (int t = 0; t < 32; ++t) ib[t] = (int16_t)t;
+    const __m512i lanes16 = _mm512_load_si512(ib);
+    const __m512i jext0 = _mm512_mullo_epi16(
+        _mm512_add_epi16(_mm512_set1_epi16(1), lanes16),
+        _mm512_set1_epi16((int16_t)gap_ext));
+    const __m512i idx31 = _mm512_set1_epi16(31);
+    const __m256i v1 = _mm256_set1_epi8(1);
+    const __m256i v2 = _mm256_set1_epi8(2);
+    const __m256i v3 = _mm256_set1_epi8(3);
+
+    for (int i = 1; i <= n; ++i) {
+        const uint8_t c1 = s1[i - 1];
+        scr.jlo[i] = 1; scr.jhi[i] = m;
+        uint8_t* prow = scr.packed.data() + (size_t)i * scr.band_stride - 1;
+        Hn[0] = 0;
+        __m512i jext = jext0;
+        __m512i prev_hne = _mm512_setzero_si512();  // lane 31 == H[i][0] = 0
+        __m512i prev_p = vneg;
+        __m512i vcarry = vneg;                      // running T before block
+        const __m256i vc1b = _mm256_set1_epi8((char)c1);
+        for (int j = 1; j <= m; j += 32) {
+            __m512i Hj = _mm512_loadu_si512(H + j);
+            __m512i Hm1 = _mm512_loadu_si512(H + j - 1);
+            __m512i Fj = _mm512_loadu_si512(Fr + j);
+            __m512i fo = _mm512_sub_epi16(Hj, vopen);
+            __m512i fe = _mm512_sub_epi16(Fj, vext);
+            __mmask32 fm = _mm512_cmp_epi16_mask(fo, fe, _MM_CMPINT_NLT);
+            __m512i Fp = _mm512_max_epi16(fo, fe);
+            _mm512_storeu_si512(Fr + j, Fp);
+            __mmask32 eq = _mm256_cmpeq_epi8_mask(
+                _mm256_loadu_si256((const __m256i*)(s2 + j - 1)), vc1b);
+            __m512i sub = _mm512_mask_blend_epi16(eq, vmis, vmatch);
+            __m512i dg = _mm512_add_epi16(Hm1, sub);
+            __m512i hn = _mm512_max_epi16(dg, Fp);
+            __m512i gsrc = _mm512_permutex2var_epi16(prev_hne, sh1, hn);
+            __m512i gv = _mm512_add_epi16(_mm512_sub_epi16(gsrc, vopen), jext);
+            __m512i pv = gv;
+            for (int s = 0; s < 5; ++s)
+                pv = _mm512_max_epi16(
+                    pv, _mm512_mask_permutexvar_epi16(vneg, shift_msk[s],
+                                                      shift_idx[s], pv));
+            // finalize this block with the carry from blocks before it
+            __m512i ci = vcarry;
+            __m512i tex = _mm512_max_epi16(
+                _mm512_permutex2var_epi16(prev_p, sh1, pv), ci);
+            __mmask32 ge = _mm512_cmp_epi16_mask(gv, tex, _MM_CMPINT_NLT);
+            __m512i tinc = _mm512_max_epi16(pv, ci);
+            __m512i ev = _mm512_sub_epi16(tinc, jext);
+            __mmask32 lm = _mm512_cmp_epi16_mask(ev, hn, _MM_CMPINT_NLE);
+            __mmask32 um = _mm512_cmp_epi16_mask(Fp, dg, _MM_CMPINT_NLE);
+            _mm512_storeu_si512(Hn + j, _mm512_max_epi16(hn, ev));
+            __m256i mv = v1;
+            mv = _mm256_mask_mov_epi8(mv, um, v2);
+            mv = _mm256_mask_mov_epi8(mv, lm, v3);
+            mv = _mm256_or_si256(mv, _mm256_maskz_set1_epi8(ge, 4));
+            mv = _mm256_or_si256(mv, _mm256_maskz_set1_epi8(fm, 8));
+            _mm256_storeu_si256((__m256i*)(prow + j), mv);
+            // carry update: broadcast of pv lane 31 (block max), one
+            // behind by design — stays in vector registers (no GPR trip)
+            vcarry = _mm512_max_epi16(
+                vcarry, _mm512_permutexvar_epi16(idx31, pv));
+            prev_hne = hn;
+            prev_p = pv;
+            jext = _mm512_add_epi16(jext, vext32);
+        }
+        std::swap(H, Hn);
+        if (H[m] >= col_best) { col_best = H[m]; col_best_i = i; }
+    }
+    int16_t row_best = H[0];
+    int row_best_j = 0;
+    for (int j = 1; j <= m; ++j)
+        if (H[j] >= row_best) { row_best = H[j]; row_best_j = j; }
+    if (row_best >= col_best) {
+        res->score = row_best; res->end_i = len1; res->end_j = row_best_j;
+    } else {
+        res->score = col_best; res->end_i = col_best_i; res->end_j = m;
+    }
+}
+#endif  // NGSID_AVX512
+
 // Lane-width dispatch: int16 when exactness is provable, else int32.
 void dp_single(const uint8_t* s1, const uint8_t* s2,
                int len1, int len2, int gap_open,
@@ -386,10 +524,17 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
                int band_hw,
                DpScratch& scr,
                PairResult* res) {
-    if (fits_int16(len1, len2, match, mismatch, gap_open, gap_ext))
+    if (fits_int16(len1, len2, match, mismatch, gap_open, gap_ext)) {
+#ifdef NGSID_AVX512
+        if (band_hw <= 0 && len2 >= 1 && len1 >= 1) {
+            dp_single_fused_i16(s1, s2, len1, len2, gap_open, match,
+                                mismatch, gap_ext, scr, res);
+            return;
+        }
+#endif
         dp_single_impl<int16_t>(s1, s2, len1, len2, gap_open, match,
                                 mismatch, gap_ext, band_hw, scr, res);
-    else
+    } else
         dp_single_impl<int32_t>(s1, s2, len1, len2, gap_open, match,
                                 mismatch, gap_ext, band_hw, scr, res);
 }
