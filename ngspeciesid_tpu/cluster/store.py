@@ -112,14 +112,39 @@ def build_store(
         quals = [r[4] for r in read_array]
         seq_b = [seq_bytes(s) for s in seqs]
         qual_b = [qual_bytes(q) for q in quals]
-    hpol = [hpol_compress_bytes(s) for s in seq_b]
+    # Homopolymer compression over the concatenated byte stream: one run-start
+    # mask + one gather for the whole batch (identical values to per-read
+    # hpol_compress_bytes; rows are views into the compacted flat array).
+    if n:
+        lens = np.fromiter((s.size for s in seq_b), np.int64, count=n)
+        bounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=bounds[1:])
+        flat = np.concatenate(seq_b) if n > 1 else seq_b[0]
+        starts = np.empty(flat.size, dtype=bool)
+        if flat.size:
+            starts[0] = True
+            np.not_equal(flat[1:], flat[:-1], out=starts[1:])
+        nonempty = lens > 0
+        starts[bounds[:-1][nonempty]] = True    # run never spans two reads
+        comp = flat[starts]
+        # per-read kept counts via reduceat (a full-length bool->int cumsum
+        # takes numpy's buffered casting path — seconds at 100M bases)
+        counts = np.zeros(n, dtype=np.int64)
+        if comp.size:
+            counts[nonempty] = np.add.reduceat(
+                starts.astype(np.int32), bounds[:-1][nonempty])
+        cb = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=cb[1:])
+        hpol = [comp[cb[i]:cb[i + 1]] for i in range(n)]
+    else:
+        flat = np.zeros(0, dtype=np.uint8)
+        hpol = []
 
     if rank_of is None:
         # alphabet detection: linear presence scan (np.unique would sort the
         # entire concatenated sequence data)
         present = np.zeros(256, dtype=bool)
-        for s in seq_b:
-            present[s] = True
+        present[flat] = True
         rank_of, rank_bits = alphabet_ranks(
             np.flatnonzero(present).astype(np.uint8))
     if k * rank_bits > 63:

@@ -358,8 +358,19 @@ def minimizers_native(
         p(out_codes, ctypes.c_int64), p(out_pos, ctypes.c_int64),
         p(out_counts, ctypes.c_int32),
     )
-    return [(out_codes[b, : out_counts[b]].copy(),
-             out_pos[b, : out_counts[b]].copy()) for b in range(B)]
+    # compact the padded scratch rows with one vectorized gather; the
+    # per-read results are views into the two fresh flat arrays (B per-row
+    # .copy() calls cost more than the whole C scan at 100k+ reads)
+    counts = out_counts.astype(np.int64)
+    bounds = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    total = int(bounds[-1])
+    within = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], counts)
+    src = np.repeat(np.arange(B, dtype=np.int64) * stride, counts) + within
+    flat_codes = out_codes.reshape(-1)[src]
+    flat_pos = out_pos.reshape(-1)[src]
+    return [(flat_codes[bounds[b]:bounds[b + 1]], flat_pos[bounds[b]:bounds[b + 1]])
+            for b in range(B)]
 
 
 def decide_wave_native(

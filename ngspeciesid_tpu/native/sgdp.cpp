@@ -388,24 +388,28 @@ void dp_single_impl(const uint8_t* s1, const uint8_t* s2,
 }
 
 #ifdef NGSID_AVX512
-// Fused int16 row pipeline for the full (unbanded) DP — the production
-// parity mode.  Bit-identical to the 3-pass rows: the only change is the
+// Fused int16 row pipeline (full or banded schedule) — the production
+// paths.  Bit-identical to the 3-pass rows: the only change is the
 // evaluation schedule of the E-chain running max, decomposed into
-// independent per-32-lane-block prefix maxima plus a scalar running carry
-// that streams one block behind (pipelined across blocks — the 3-pass
-// version serializes a ~35-cycle permute chain per vector).  Max is
-// associative over these exact integer values, so every cell and move byte
-// is unchanged (differential-tested move-level vs the numpy oracle in
-// tests/test_native.py).  Single pass per row: the only cross-iteration
-// dependences are three one-behind registers (prev hne / prev prefix /
-// scalar carry), so the loop is throughput-bound, not latency-bound.
+// independent per-32-lane-block prefix maxima plus a running carry that
+// streams one block behind in vector registers (pipelined across blocks —
+// the 3-pass version serializes a ~35-cycle permute chain per vector).
+// Max is associative over these exact integer values, so every cell and
+// move byte is unchanged (differential-tested move-level vs the numpy
+// oracle in tests/test_native.py).  Single pass per row: the only
+// cross-iteration dependences are three one-behind registers (prev hne /
+// prev prefix / carry), so the loop is throughput-bound, not latency-bound.
+// Banded rows process full 32-lane vectors with overrun past j_hi; the two
+// trailing stores of NEG restore the stale-cell invariant (cells right of
+// every window stay NEG) that banded window extension relies on.
 void dp_single_fused_i16(const uint8_t* s1, const uint8_t* s2,
                          int len1, int len2, int gap_open,
                          int match, int mismatch, int gap_ext,
+                         int band_hw,
                          DpScratch& scr, PairResult* res) {
     const int m = len2, n = len1;
     constexpr int16_t NEG = NEG_INF16;
-    scr.prepare(n, m, 0);
+    scr.prepare(n, m, band_hw);
     int16_t* H = scr.H16.data();
     int16_t* Hn = scr.Hn16.data();
     int16_t* Fr = scr.F16.data();
@@ -439,25 +443,45 @@ void dp_single_fused_i16(const uint8_t* s1, const uint8_t* s2,
     }
     for (int t = 0; t < 32; ++t) ib[t] = (int16_t)t;
     const __m512i lanes16 = _mm512_load_si512(ib);
-    const __m512i jext0 = _mm512_mullo_epi16(
-        _mm512_add_epi16(_mm512_set1_epi16(1), lanes16),
-        _mm512_set1_epi16((int16_t)gap_ext));
+    const __m512i vgext = _mm512_set1_epi16((int16_t)gap_ext);
     const __m512i idx31 = _mm512_set1_epi16(31);
     const __m256i v1 = _mm256_set1_epi8(1);
     const __m256i v2 = _mm256_set1_epi8(2);
     const __m256i v3 = _mm256_set1_epi8(3);
 
+    const bool banded = band_hw > 0 && n > 0;
+    int prev_hi = m;
     for (int i = 1; i <= n; ++i) {
         const uint8_t c1 = s1[i - 1];
-        scr.jlo[i] = 1; scr.jhi[i] = m;
-        uint8_t* prow = scr.packed.data() + (size_t)i * scr.band_stride - 1;
+        int j_lo = 1, j_hi = m;
+        if (banded) {
+            long ci = (long)i * m / n;
+            j_lo = (int)std::max(1L, ci - band_hw);
+            j_hi = (int)std::min((long)m, ci + band_hw);
+            j_lo = std::min(j_lo, prev_hi + 1);
+            prev_hi = j_hi;
+            // left-margin cell: read by this row's E-chain / next row's diag
+            if (j_lo > 1) Hn[j_lo - 1] = NEG;
+        }
+        scr.jlo[i] = j_lo; scr.jhi[i] = j_hi;
+        uint8_t* prow = scr.packed.data() + (size_t)i * scr.band_stride - j_lo;
         Hn[0] = 0;
-        __m512i jext = jext0;
-        __m512i prev_hne = _mm512_setzero_si512();  // lane 31 == H[i][0] = 0
+        // The vector loop overruns j_hi by up to 31 lanes; those cells must
+        // read as "never written" afterwards (the banded window-extension
+        // contract, matched bit-for-bit by the numpy/Pallas mirrors, keeps
+        // whatever construction left in each double buffer there).  Save
+        // and restore them around the row.
+        const __m512i hn_tail = _mm512_loadu_si512(Hn + j_hi + 1);
+        const __m512i f_tail = _mm512_loadu_si512(Fr + j_hi + 1);
+        __m512i jext = _mm512_mullo_epi16(
+            _mm512_add_epi16(_mm512_set1_epi16((int16_t)j_lo), lanes16), vgext);
+        // lane 31 == the primed hne[j_lo-1]: H[i][0] = 0 inside the band,
+        // NEG (unreachable) when the window starts past column 1
+        __m512i prev_hne = (j_lo == 1) ? _mm512_setzero_si512() : vneg;
         __m512i prev_p = vneg;
         __m512i vcarry = vneg;                      // running T before block
         const __m256i vc1b = _mm256_set1_epi8((char)c1);
-        for (int j = 1; j <= m; j += 32) {
+        for (int j = j_lo; j <= j_hi; j += 32) {
             __m512i Hj = _mm512_loadu_si512(H + j);
             __m512i Hm1 = _mm512_loadu_si512(H + j - 1);
             __m512i Fj = _mm512_loadu_si512(Fr + j);
@@ -502,12 +526,16 @@ void dp_single_fused_i16(const uint8_t* s1, const uint8_t* s2,
             prev_p = pv;
             jext = _mm512_add_epi16(jext, vext32);
         }
+        _mm512_storeu_si512(Hn + j_hi + 1, hn_tail);
+        _mm512_storeu_si512(Fr + j_hi + 1, f_tail);
         std::swap(H, Hn);
-        if (H[m] >= col_best) { col_best = H[m]; col_best_i = i; }
+        if (j_hi == m && H[m] >= col_best) { col_best = H[m]; col_best_i = i; }
     }
+    int scan_lo = (n == 0) ? 1 : scr.jlo[n];
+    int scan_hi = (n == 0) ? m : scr.jhi[n];
     int16_t row_best = H[0];
     int row_best_j = 0;
-    for (int j = 1; j <= m; ++j)
+    for (int j = scan_lo; j <= scan_hi; ++j)
         if (H[j] >= row_best) { row_best = H[j]; row_best_j = j; }
     if (row_best >= col_best) {
         res->score = row_best; res->end_i = len1; res->end_j = row_best_j;
@@ -526,9 +554,9 @@ void dp_single(const uint8_t* s1, const uint8_t* s2,
                PairResult* res) {
     if (fits_int16(len1, len2, match, mismatch, gap_open, gap_ext)) {
 #ifdef NGSID_AVX512
-        if (band_hw <= 0 && len2 >= 1 && len1 >= 1) {
+        if (len2 >= 1 && len1 >= 1) {
             dp_single_fused_i16(s1, s2, len1, len2, gap_open, match,
-                                mismatch, gap_ext, scr, res);
+                                mismatch, gap_ext, band_hw, scr, res);
             return;
         }
 #endif
