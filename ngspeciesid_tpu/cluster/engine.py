@@ -549,16 +549,41 @@ def reads_to_clusters(
         # Converges in ~(#new representatives whose minimizers collide with
         # later wave reads) sub-rounds; identical to sequential processing.
         pending = [int(r) for r in wave_rows]
+        # Sub-rounds only re-score reads whose candidate set could have
+        # changed: a read shares a minimizer with a representative created
+        # after its last scoring (stale).  Clean reads keep their committed
+        # decision — a representative can only become a candidate through a
+        # shared minimizer, so no shared code means an identical candidate
+        # set and an identical decision.
+        final_dec: Dict[int, int] = {}
+        stale = set(pending)
+        code_lists: Dict[int, list] = {}   # per-row python list cache (walk checks)
+
+        def _codes_of(row: int) -> list:
+            lst = code_lists.get(row)
+            if lst is None:
+                lst = store.min_codes[row].tolist()
+                code_lists[row] = lst
+            return lst
+
         while pending:
-            rows_arr = np.array(pending, dtype=np.int64)
-            snap = state.db.snapshot()
-            spec = _decide_waves(store, rows_arr, snap, gap_table, cfg)
-            aln_requests = [
-                (wi, pending[wi], spec[wi][2])
-                for wi in range(len(spec))
-                if spec[wi][0] < 0 and spec[wi][2]
-            ]
-            aln_winners = _run_alignments(store, aln_requests, cfg, aln_cache)
+            if stale:
+                rows_list = [r for r in pending if r in stale]
+                rows_arr = np.array(rows_list, dtype=np.int64)
+                snap = state.db.snapshot()
+                spec = _decide_waves(store, rows_arr, snap, gap_table, cfg)
+                aln_requests = [
+                    (wi, rows_list[wi], spec[wi][2])
+                    for wi in range(len(spec))
+                    if spec[wi][0] < 0 and spec[wi][2]
+                ]
+                aln_winners = _run_alignments(store, aln_requests, cfg, aln_cache)
+                for wi, row in enumerate(rows_list):
+                    dec = spec[wi][0]
+                    if dec < 0:
+                        dec = aln_winners.get(wi, -1)
+                    final_dec[row] = dec
+                stale = set()
 
             new_codes: set = set()
             break_at = len(pending)
@@ -572,23 +597,26 @@ def reads_to_clusters(
                     alive.append(rid)
                     global_i += 1
                     continue
-                if new_codes and any(c in new_codes for c in codes.tolist()):
+                if new_codes and not new_codes.isdisjoint(_codes_of(row)):
                     break_at = wi
                     break
                 if heartbeats and global_i % heartbeats == 0:
                     logger.debug("processed %d reads, %d representatives, db size %d",
                                  global_i, len(alive), len(state.db))
                 global_i += 1
-                dec, nr_shared, aln_cands = spec[wi]
-                if dec < 0 and wi in aln_winners:
-                    dec = aln_winners[wi]
+                dec = final_dec[row]
                 if dec >= 0:
                     state.cluster_to_new[rid] = dec
                 else:
                     state.db.insert(codes, rid)
-                    new_codes.update(codes.tolist())
+                    new_codes.update(_codes_of(row))
                     alive.append(rid)
             pending = pending[break_at:]
+            if pending:
+                stale = {
+                    row for row in pending
+                    if not new_codes.isdisjoint(_codes_of(row))
+                }
         wave_start += wave_size
 
     # final reassignment (cluster.py:337-345)

@@ -124,17 +124,13 @@ def build_store(
         if flat.size:
             starts[0] = True
             np.not_equal(flat[1:], flat[:-1], out=starts[1:])
-        nonempty = lens > 0
-        starts[bounds[:-1][nonempty]] = True    # run never spans two reads
-        comp = flat[starts]
-        # per-read kept counts via reduceat (a full-length bool->int cumsum
-        # takes numpy's buffered casting path — seconds at 100M bases)
-        counts = np.zeros(n, dtype=np.int64)
-        if comp.size:
-            counts[nonempty] = np.add.reduceat(
-                starts.astype(np.int32), bounds[:-1][nonempty])
-        cb = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(counts, out=cb[1:])
+        starts[bounds[:-1][lens > 0]] = True    # run never spans two reads
+        run_pos = np.flatnonzero(starts)
+        comp = flat[run_pos]
+        # per-read compressed bounds: count of run starts before each read
+        # boundary (flatnonzero + searchsorted beat both a bool->int cumsum
+        # and ufunc.reduceat by an order of magnitude at 100M bases)
+        cb = np.searchsorted(run_pos, bounds)
         hpol = [comp[cb[i]:cb[i + 1]] for i in range(n)]
     else:
         flat = np.zeros(0, dtype=np.uint8)

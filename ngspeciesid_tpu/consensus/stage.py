@@ -294,6 +294,11 @@ def polish_sequences(centers: List[List], cfg: Config) -> List[List]:
             logger.debug("polishing (medaka-class) center %s with %d reads", c_id, len(records))
             polished = seq_bytes(center)
             p_seqs, p_quals, _ = _polish_subset(seqs, quals)
+            # RC-merged centers pool both orientations (consensus.py:167-180);
+            # the reference's minimap2-driven polishers are strand-aware, so
+            # flip reverse-strand reads before the pileup
+            from ..ops.poa import orient_reads
+            p_seqs, p_quals, _ = orient_reads(polished, p_seqs, p_quals)
             neural = _load_neural_polisher(cfg.medaka_model)
             if neural is not None:
                 params, neural_round = neural
@@ -317,6 +322,8 @@ def polish_sequences(centers: List[List], cfg: Config) -> List[List]:
             polished = seq_bytes(center)
             p_seqs, _, p_idx = _polish_subset(seqs, quals)
             p_names = [records[i][0] for i in p_idx]
+            from ..ops.poa import orient_reads
+            p_seqs, _, _ = orient_reads(polished, p_seqs)
             for it in range(cfg.racon_iter):
                 # per-iteration read->center PAF, the reference's minimap2
                 # observability artifact (consensus.py:118-121); the polish

@@ -90,6 +90,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
@@ -423,6 +424,7 @@ def pileup_native(
     reads: List[np.ndarray],
     weights: Optional[List[np.ndarray]],
     match: int, mismatch: int, gap_open: int, gap_ext: int, band: int,
+    windows: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
            np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Fused DP + pileup accumulation for one center (the polish hot loop).
@@ -431,7 +433,11 @@ def pileup_native(
     ev_len, ev_bytes) where the ev_* arrays are insertion events in read
     order: ev_bytes holds the inserted base runs back-to-back (offsets =
     cumulative ev_len).  Accumulation is sequential in read order inside
-    the engine, so floats are bit-identical to the Python walk."""
+    the engine, so floats are bit-identical to the Python walk.
+
+    windows: optional (B, 2) int32 of per-read center spans [lo, hi) — the
+    DP runs only against that center slice (anchor-bounded polish for long
+    centers); positions are reported in center coordinates."""
     lib = get_lib()
     assert lib is not None
     L = center.size
@@ -439,6 +445,12 @@ def pileup_native(
     rstride = max((r.size for r in reads), default=1)
     rb = _stage_rows("pu.reads", reads, rstride)
     rlen = np.array([r.size for r in reads], dtype=np.int32)
+    if windows is None:
+        win_lo = np.zeros(B, dtype=np.int32)
+        win_hi = np.full(B, L, dtype=np.int32)
+    else:
+        win_lo = np.ascontiguousarray(windows[:, 0], dtype=np.int32)
+        win_hi = np.ascontiguousarray(windows[:, 1], dtype=np.int32)
     has_w = weights is not None
     wb = _scratch_buf("pu.w", (B, rstride), np.float64)
     if has_w:
@@ -462,6 +474,7 @@ def pileup_native(
     lib.sg_pileup_native(
         p(center, ctypes.c_uint8), L,
         p(rb, ctypes.c_uint8), p(rlen, ctypes.c_int32), B, rstride,
+        p(win_lo, ctypes.c_int32), p(win_hi, ctypes.c_int32),
         p(wb, ctypes.c_double), int(has_w),
         match, mismatch, gap_open, gap_ext, band,
         p(votes, ctypes.c_double), p(qvotes, ctypes.c_double),

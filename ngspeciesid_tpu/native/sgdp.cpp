@@ -794,9 +794,16 @@ void read_error_stats_native(
 //   ev_pos/ev_w/ev_len + ev_bytes: caller-allocated, capacity = total read
 //   bytes (every event consumes >= 1 read base); counts returned via n_ev /
 //   n_ev_bytes.
+// win_lo/win_hi: per-read center window [win_lo, win_hi) — the DP and all
+// accumulation are confined to the window, with vote/coverage/event
+// positions offset back to center coordinates.  Full-center behaviour
+// (win_lo=0, win_hi=L for every read) is bit-identical to the unwindowed
+// engine.  Terminal-extension events only fire at true center termini
+// (win_lo == 0 / win_hi == L).
 void sg_pileup_native(
     const uint8_t* center, int L,
     const uint8_t* reads, const int32_t* read_len, int B, int rstride,
+    const int32_t* win_lo, const int32_t* win_hi,
     const double* weights, int has_weights,
     int match, int mismatch, int gap_open, int gap_ext, int band_hw,
     double* votes, double* qvotes, double* coverage,
@@ -814,10 +821,11 @@ void sg_pileup_native(
 #endif
         for (int b = 0; b < B; ++b) {
             int m = read_len[b];
+            int wl = win_lo[b], wh = win_hi[b];
             PairResult res;
-            dp_single(center, reads + (size_t)b * rstride, L, m, gap_open,
-                      match, mismatch, gap_ext, band_hw, scr, &res);
-            mlen[b] = traceback(scr, L, m, res.end_i, res.end_j,
+            dp_single(center + wl, reads + (size_t)b * rstride, wh - wl, m,
+                      gap_open, match, mismatch, gap_ext, band_hw, scr, &res);
+            mlen[b] = traceback(scr, wh - wl, m, res.end_i, res.end_j,
                                 moves.data() + (size_t)b * (L + rstride));
         }
     }
@@ -832,6 +840,10 @@ void sg_pileup_native(
         const uint8_t* mv = moves.data() + (size_t)b * (L + rstride);
         const uint8_t* read = reads + (size_t)b * rstride;
         const double* w = has_weights ? weights + (size_t)b * rstride : nullptr;
+        const int wl = win_lo[b];
+        const int Lw = win_hi[b] - wl;          // window length
+        const bool head_terminal = wl == 0;
+        const bool tail_terminal = win_hi[b] == L;
         int len = mlen[b];
         // trim to aligned core (ops/poa.py::trim_to_aligned)
         int lo = 0, hi = len;
@@ -849,7 +861,7 @@ void sg_pileup_native(
         // Terminal extension (ops/poa.py::pileup_stats): head bases of a
         // read whose alignment starts at center position 0 vote an
         // insertion event at slot 0 (tail symmetrically below).
-        if (ci == 0 && ri > 0) {
+        if (head_terminal && ci == 0 && ri > 0) {
             for (int p = 0; p < ri; ++p) {
                 ev_bytes[nb++] = read[p];
                 pend_w += w ? w[p] : 1.0;
@@ -870,7 +882,7 @@ void sg_pileup_native(
                 continue;
             }
             if (pend_len) {
-                ev_pos[ne] = ci;
+                ev_pos[ne] = wl + ci;
                 ev_w[ne] = pend_w / pend_len;
                 ev_len[ne] = pend_len;
                 ++ne;
@@ -880,23 +892,23 @@ void sg_pileup_native(
             if (op == MV_DIAG) {
                 int8_t c = base_col[read[ri]];
                 if (c >= 0) {
-                    votes[(size_t)ci * 5 + c] += 1.0;
-                    qvotes[(size_t)ci * 5 + c] += w ? w[ri] : 1.0;
+                    votes[(size_t)(wl + ci) * 5 + c] += 1.0;
+                    qvotes[(size_t)(wl + ci) * 5 + c] += w ? w[ri] : 1.0;
                 }
                 ++ci; ++ri;
             } else {  // MV_UP: deletion in the read
-                votes[(size_t)ci * 5 + GAP] += 1.0;
-                qvotes[(size_t)ci * 5 + GAP] += 1.0;
+                votes[(size_t)(wl + ci) * 5 + GAP] += 1.0;
+                qvotes[(size_t)(wl + ci) * 5 + GAP] += 1.0;
                 ++ci;
             }
         }
         if (pend_len) {
-            ev_pos[ne] = ci;
+            ev_pos[ne] = wl + ci;
             ev_w[ne] = pend_w / pend_len;
             ev_len[ne] = pend_len;
             ++ne;
         }
-        if (ci == L && ri < read_len[b]) {
+        if (tail_terminal && ci == Lw && ri < read_len[b]) {
             pend_len = 0;
             pend_w = 0.0;
             for (int p = ri; p < read_len[b]; ++p) {
@@ -909,7 +921,7 @@ void sg_pileup_native(
             ev_len[ne] = pend_len;
             ++ne;
         }
-        for (int p = span_lo; p <= ci; ++p) coverage[p] += 1.0;
+        for (int p = wl + span_lo; p <= wl + ci; ++p) coverage[p] += 1.0;
     }
     *n_ev = ne;
     *n_ev_bytes = nb;

@@ -229,6 +229,7 @@ def _pileup_stats_native(
     center: np.ndarray,
     reads: Sequence[np.ndarray],
     quals: Optional[Sequence[np.ndarray]],
+    windows: Optional[np.ndarray] = None,
 ) -> PileupStats:
     """Fused DP + accumulation in the C engine; only insertion events (the
     indel-rate-sized tail) fold into dicts on the host.  Bit-identical to
@@ -243,6 +244,7 @@ def _pileup_stats_native(
     votes, qvotes, coverage, ev_pos, ev_w, ev_len, ev_bytes = native.pileup_native(
         center, list(reads), weights,
         POA_MATCH, POA_MISMATCH, POA_OPEN, POA_EXT, POA_BAND,
+        windows=windows,
     )
     st.votes, st.qvotes, st.coverage = votes, qvotes, coverage
     off = 0
@@ -262,9 +264,15 @@ def pileup_stats(
     center: np.ndarray,
     reads: Sequence[np.ndarray],
     quals: Optional[Sequence[np.ndarray]] = None,
+    windows: Optional[np.ndarray] = None,
 ) -> PileupStats:
     """Align reads to the fixed center (banded, batched) and accumulate both
-    unit and quality-weighted per-column counts plus insertion events."""
+    unit and quality-weighted per-column counts plus insertion events.
+
+    windows: optional (B, 2) per-read center spans [lo, hi): the DP runs
+    only against that slice (anchor-bounded polish for long centers) with
+    votes reported in center coordinates.  Terminal-extension events only
+    fire at true center termini (lo == 0 / hi == L)."""
     L = center.size
     st = PileupStats(L)
     if not reads or L == 0:
@@ -272,14 +280,22 @@ def pileup_stats(
     if os.environ.get("NGSID_PILEUP") != "python":
         from .. import native
         if native.available():
-            return _pileup_stats_native(center, reads, quals)
-    pairs = [(center, r) for r in reads]
+            return _pileup_stats_native(center, reads, quals, windows)
+    if windows is None:
+        pairs = [(center, r) for r in reads]
+    else:
+        pairs = [(center[windows[i, 0]:windows[i, 1]], r)
+                 for i, r in enumerate(reads)]
     moves_all = sg_align_batch(pairs, [POA_OPEN] * len(pairs),
                                match=POA_MATCH, mismatch=POA_MISMATCH,
                                gap_ext=POA_EXT, band=POA_BAND)
     votes, qvotes = st.votes, st.qvotes
     for ri_read, moves in enumerate(moves_all):
         read = reads[ri_read]
+        wl = int(windows[ri_read, 0]) if windows is not None else 0
+        Lw = (int(windows[ri_read, 1]) - wl) if windows is not None else L
+        head_terminal = wl == 0
+        tail_terminal = wl + Lw == L
         w = (1.0 - PHRED_TO_P_CAPPED[quals[ri_read]]) if quals is not None else None
         core, ci, ri = trim_to_aligned(moves)
         if core.size == 0:
@@ -288,12 +304,12 @@ def pileup_stats(
         pending: List[int] = []
         pending_w = 0.0
 
-        def flush(ci):
+        def flush(pos):
             nonlocal pending, pending_w
-            d = st.ins_votes[ci]
+            d = st.ins_votes[pos]
             key = bytes(pending)
             d[key] = d.get(key, 0.0) + pending_w / len(pending)
-            st.ins_open[ci] += 1.0
+            st.ins_open[pos] += 1.0
             pending, pending_w = [], 0.0
 
         # Terminal extension: a read whose alignment starts at center
@@ -301,7 +317,7 @@ def pileup_stats(
         # (symmetrically at the tail below).  Without this, a truncated
         # center can never be repaired past its own ends — spoa's graph
         # consensus (reference consensus.py:83-92) has no such cap.
-        if ci == 0 and ri > 0:
+        if head_terminal and ci == 0 and ri > 0:
             for p in range(ri):
                 pending.append(int(read[p]))
                 pending_w += float(w[p]) if w is not None else 1.0
@@ -310,53 +326,139 @@ def pileup_stats(
         for mv in core:
             if mv == DIAG:
                 if pending:
-                    flush(ci)
+                    flush(wl + ci)
                 b = _BASE_TO_COL[read[ri]]
                 if b >= 0:
-                    votes[ci, b] += 1.0
-                    qvotes[ci, b] += w[ri] if w is not None else 1.0
+                    votes[wl + ci, b] += 1.0
+                    qvotes[wl + ci, b] += w[ri] if w is not None else 1.0
                 ci += 1
                 ri += 1
             elif mv == UP:
                 if pending:
-                    flush(ci)
-                votes[ci, GAP_COL] += 1.0
-                qvotes[ci, GAP_COL] += 1.0
+                    flush(wl + ci)
+                votes[wl + ci, GAP_COL] += 1.0
+                qvotes[wl + ci, GAP_COL] += 1.0
                 ci += 1
             else:
                 pending.append(int(read[ri]))
                 pending_w += float(w[ri]) if w is not None else 1.0
                 ri += 1
         if pending:
-            flush(ci)
-        if ci == L and ri < read.size:
+            flush(wl + ci)
+        if tail_terminal and ci == Lw and ri < read.size:
             for p in range(ri, read.size):
                 pending.append(int(read[p]))
                 pending_w += float(w[p]) if w is not None else 1.0
             flush(L)
-        st.coverage[lo : ci + 1] += 1.0
+        st.coverage[wl + lo : wl + ci + 1] += 1.0
     return st
+
+
+#: Anchor-bounded polish gate: centers at least this long compute mapper
+#: windows so each read's DP covers only its span (+pad) instead of the
+#: whole center.  Amplicon-size centers (reads ~ center) are unaffected —
+#: windowing would cover the full center anyway, so behaviour is unchanged.
+AUTO_WINDOW_MIN_CENTER = 2000
+#: minimum supporting reads for a structural edit (insertion / deletion of
+#: draft bases) during polishing; plurality alone suffices for substitutions
+MIN_STRUCT_EVIDENCE = 2
+#: window padding beyond the chained anchor span + unaligned query flanks.
+#: Deliberately small: the window must stay read-sized so the banded DP's
+#: scaled diagonal has slope ~1 over the true alignment — over-padding
+#: shrinks the slope and pushes the path out of the band near the edges.
+WINDOW_PAD = 50
+
+
+def orient_reads(
+    center: np.ndarray,
+    reads: Sequence[np.ndarray],
+    quals: Optional[Sequence[np.ndarray]] = None,
+):
+    """Flip reads whose best center mapping is reverse-strand.
+
+    The reference polishes through minimap2 + racon/medaka, which handle
+    strands natively (consensus.py:121); RC-merged centers pool reads of
+    both orientations (consensus.py:167-180), so without orientation half
+    of a merged cluster's reads align as noise and vote nothing.
+    Returns (reads, quals, mappings) with quals None when not given."""
+    from .mapping import map_reads_to_center
+    from ..utils.seqs import reverse_complement_bytes
+
+    mappings = map_reads_to_center(center, reads)
+    out_s: List[np.ndarray] = []
+    out_q: Optional[List[np.ndarray]] = [] if quals is not None else None
+    for i, m in enumerate(mappings):
+        if m is not None and m.strand == "-":
+            out_s.append(reverse_complement_bytes(reads[i]))
+            if out_q is not None:
+                out_q.append(quals[i][::-1])
+        else:
+            out_s.append(reads[i])
+            if out_q is not None:
+                out_q.append(quals[i])
+    return out_s, out_q, mappings
+
+
+def polish_windows(
+    center: np.ndarray,
+    reads: Sequence[np.ndarray],
+    mappings: Sequence,
+) -> Optional[np.ndarray]:
+    """Per-read center spans for anchor-bounded polishing, or None when no
+    read benefits.  A read windows only when its padded span is narrower
+    than the center; unmapped reads keep the full center."""
+    L = center.size
+    if L < AUTO_WINDOW_MIN_CENTER:
+        return None
+    win = np.zeros((len(reads), 2), dtype=np.int32)
+    win[:, 1] = L
+    narrowed = False
+    for i, m in enumerate(mappings):
+        if m is None:
+            continue
+        # strand-correct unaligned query flanks (PAF q coords are on the
+        # original + strand); an 8%-indel inflation plus the fixed pad keeps
+        # the true alignment inside while the window stays read-sized
+        if m.strand == "+":
+            head, tail = m.q_start, m.q_len - m.q_end
+        else:
+            head, tail = m.q_len - m.q_end, m.q_start
+        lo = max(0, m.t_start - head - head // 8 - WINDOW_PAD)
+        hi = min(L, m.t_end + tail + tail // 8 + WINDOW_PAD)
+        if hi - lo < L:
+            win[i, 0] = lo
+            win[i, 1] = hi
+            narrowed = True
+    return win if narrowed else None
 
 
 def polish_round(
     center: np.ndarray,
     reads: Sequence[np.ndarray],
     quals: Optional[Sequence[np.ndarray]] = None,
+    windows: Optional[np.ndarray] = None,
+    auto_window: bool = True,
 ) -> np.ndarray:
     """One round of pileup polishing: align reads to the fixed center, call a
     weighted plurality per column, with majority-supported insertions.
 
     Weights are ``1 - p_err`` per base when quality strings are given
     (medaka-class confidence weighting), else 1 (racon-class counting).
-    Uncovered center positions keep the draft base.
+    Uncovered center positions keep the draft base.  Long centers
+    (>= AUTO_WINDOW_MIN_CENTER) derive anchor-bounded per-read windows from
+    the minimizer mapper unless explicit ``windows`` are given.
     """
     if not reads or center.size == 0:
         return center
-    st = pileup_stats(center, reads, quals)
+    if windows is None and auto_window and center.size >= AUTO_WINDOW_MIN_CENTER:
+        from .mapping import map_reads_to_center
+        windows = polish_windows(center, reads, map_reads_to_center(center, reads))
+    st = pileup_stats(center, reads, quals, windows)
     L = center.size
     votes = st.qvotes if quals is not None else st.votes
     coverage = st.coverage
     ins_votes = st.ins_votes
+    unit_votes = st.votes
     out: List[int] = []
     for p in range(L + 1):
         if ins_votes[p]:
@@ -369,7 +471,9 @@ def polish_round(
             # itself must carry a majority, or a tiny-support plurality of
             # junk would extend the center.
             gate = best[1] if p == 0 or p == L else total_ins
-            if gate > coverage[p] / 2.0:
+            # structural edits need at least MIN_STRUCT_EVIDENCE reads: a
+            # lone noisy read in a low-coverage pocket must not insert
+            if gate > coverage[p] / 2.0 and st.ins_open[p] >= MIN_STRUCT_EVIDENCE:
                 out.extend(best[0])
         if p < L:
             v = votes[p]
@@ -378,7 +482,8 @@ def polish_round(
                 out.append(int(center[p]))      # uncovered: keep draft base
                 continue
             base_best = int(np.argmax(v[:4]))
-            if v[GAP_COL] > v[base_best]:
+            if (v[GAP_COL] > v[base_best]
+                    and unit_votes[p, GAP_COL] >= MIN_STRUCT_EVIDENCE):
                 continue                        # deletion wins
             out.append(int(_COL_TO_BASE[base_best]))
     return np.array(out, dtype=np.uint8)

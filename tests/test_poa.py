@@ -157,3 +157,86 @@ class TestPileupNativeParity:
         monkeypatch.setenv("NGSID_PILEUP", "python")
         want = polish_round(draft, reads, quals)
         assert got.tolist() == want.tolist()
+
+
+class TestAnchoredWindows:
+    """Anchor-bounded polish windows for long centers (reads << center)."""
+
+    def _long_case(self, rng, L=6000, read_len=700, depth=60, err=0.08):
+        t = make_template(rng, L)
+        reads, quals = [], []
+        for _ in range(depth):
+            start = int(rng.integers(0, L - read_len))
+            r, q = noisy_copy(rng, t[start:start + read_len], err)
+            reads.append(r)
+            quals.append(q)
+        return t, reads, quals
+
+    def test_windowed_stats_bit_identical_backends(self, rng, monkeypatch):
+        from ngspeciesid_tpu import native
+        from ngspeciesid_tpu.ops.mapping import map_reads_to_center
+        from ngspeciesid_tpu.ops.poa import pileup_stats, polish_windows
+
+        if not native.available():
+            pytest.skip("no native engine")
+        t, reads, quals = self._long_case(rng, L=3000, depth=25)
+        win = polish_windows(t, reads, map_reads_to_center(t, reads))
+        assert win is not None
+        got = pileup_stats(t, reads, quals, win)
+        monkeypatch.setenv("NGSID_PILEUP", "python")
+        want = pileup_stats(t, reads, quals, win)
+        assert np.array_equal(got.votes, want.votes)
+        assert np.array_equal(got.qvotes, want.qvotes)
+        assert np.array_equal(got.coverage, want.coverage)
+        assert got.ins_votes == want.ins_votes
+
+    def test_windowed_polish_repairs_long_center(self, rng):
+        # a long draft with seeded errors: windowed polish must fix them —
+        # the full-center scaled-diagonal band cannot even align sub-span
+        # reads correctly at this length ratio
+        t, reads, quals = self._long_case(rng, L=6000, depth=80)
+        draft = t.copy()
+        err_pos = rng.choice(len(t) - 200, size=25, replace=False) + 100
+        for p in err_pos:
+            draft[p] = ord("ACGT"[(("ACGT".index(chr(draft[p])) + 1) % 4)])
+        polished = polish_round(draft, reads, quals)
+        d = edit_distance(polished, t)
+        assert d <= 5, f"windowed polish left {d} edits on a 6kb center"
+
+    def test_full_behaviour_unchanged_for_amplicons(self, rng):
+        # amplicon-size centers are below the auto-window gate: identical
+        # output with and without auto windowing
+        t = make_template(rng, 600)
+        pairs = [noisy_copy(rng, t, 0.08) for _ in range(30)]
+        reads = [p[0] for p in pairs]
+        quals = [p[1] for p in pairs]
+        a = polish_round(t, reads, quals, auto_window=True)
+        b = polish_round(t, reads, quals, auto_window=False)
+        assert a.tolist() == b.tolist()
+
+
+class TestOrientation:
+    def test_orient_reads_flips_rc(self, rng):
+        from ngspeciesid_tpu.ops.poa import orient_reads
+        from ngspeciesid_tpu.utils.seqs import reverse_complement_bytes
+
+        t = make_template(rng, 700)
+        fw = [noisy_copy(rng, t, 0.06)[0] for _ in range(6)]
+        rc = [reverse_complement_bytes(noisy_copy(rng, t, 0.06)[0]) for _ in range(6)]
+        seqs, _, mappings = orient_reads(t, fw + rc)
+        assert all(m is not None for m in mappings)
+        assert [m.strand for m in mappings] == ["+"] * 6 + ["-"] * 6
+        # flipped RC reads now align forward: polish with mixed orientations
+        # converges to the template
+        polished = polish_round(t, seqs)
+        assert edit_distance(polished, t) == 0
+
+    def test_orientation_quals_flipped(self, rng):
+        from ngspeciesid_tpu.ops.poa import orient_reads
+        from ngspeciesid_tpu.utils.seqs import reverse_complement_bytes
+
+        t = make_template(rng, 500)
+        r, q = noisy_copy(rng, t, 0.05)
+        seqs, quals, _ = orient_reads(t, [reverse_complement_bytes(r)], [q[::-1]])
+        assert seqs[0].tolist() == r.tolist()
+        assert quals[0].tolist() == q.tolist()
