@@ -65,12 +65,12 @@ def _minimizers(seq: np.ndarray, k: int, w: int,
     return codes, pos
 
 
-def _anchors(q_codes, q_pos, t_codes, t_pos) -> Tuple[np.ndarray, np.ndarray]:
-    """All (query_pos, target_pos) pairs with equal minimizer codes."""
-    if q_codes.size == 0 or t_codes.size == 0:
+def _anchors(q_codes, q_pos, t_sorted, t_sort_pos) -> Tuple[np.ndarray, np.ndarray]:
+    """All (query_pos, target_pos) pairs with equal minimizer codes.
+    t_sorted / t_sort_pos: the center's codes sorted ascending and the
+    matching positions (precomputed once per center)."""
+    if q_codes.size == 0 or t_sorted.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    order = np.argsort(t_codes, kind="stable")
-    t_sorted = t_codes[order]
     lo = np.searchsorted(t_sorted, q_codes, side="left")
     hi = np.searchsorted(t_sorted, q_codes, side="right")
     counts = hi - lo
@@ -78,8 +78,10 @@ def _anchors(q_codes, q_pos, t_codes, t_pos) -> Tuple[np.ndarray, np.ndarray]:
     if total == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     q_idx = np.repeat(np.arange(q_codes.size), counts)
-    flat = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi) if h > l])
-    return q_pos[q_idx], t_pos[order[flat]]
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    flat = np.repeat(lo, counts) + within
+    return q_pos[q_idx], t_sort_pos[flat]
 
 
 def _chain(qa: np.ndarray, ta: np.ndarray, k: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
@@ -91,6 +93,17 @@ def _chain(qa: np.ndarray, ta: np.ndarray, k: int) -> Optional[Tuple[np.ndarray,
         return None
     order = np.lexsort((qa, ta))
     qa, ta = qa[order], ta[order]
+    if n >= 2:
+        dq = np.diff(qa)
+        dt = np.diff(ta)
+        if ((dq > 0).all() and (dt > 0).all()
+                and (np.abs(dq - dt) <= MAX_GAP).all()):
+            # clean colinear anchor set (the common case for real reads):
+            # chaining every anchor maximizes seed coverage, which is what
+            # the DP below returns — skip its per-anchor python loop
+            if n < MIN_CHAIN:
+                return None
+            return qa, ta
     score = np.full(n, float(k))
     parent = np.full(n, -1, dtype=np.int64)
     for i in range(1, n):
@@ -119,17 +132,15 @@ def _chain(qa: np.ndarray, ta: np.ndarray, k: int) -> Optional[Tuple[np.ndarray,
     return qa[idx], ta[idx]
 
 
-def map_read(
-    read: np.ndarray, center: np.ndarray,
-    rank_of: np.ndarray, rank_bits: int,
-    k: int = MAP_K, w: int = MAP_W,
+def _map_one(
+    read_len: int, t_len: int, k: int,
+    fwd_min, rev_min,
+    t_sorted: np.ndarray, t_sort_pos: np.ndarray,
 ) -> Optional[Mapping]:
-    """Map one read against the center in both orientations; best chain wins."""
-    t_codes, t_pos = _minimizers(center, k, w, rank_of, rank_bits)
+    """Best chain over both orientations given precomputed minimizers."""
     best: Optional[Tuple[int, str, np.ndarray, np.ndarray]] = None
-    for strand, q in (("+", read), ("-", reverse_complement_bytes(read))):
-        q_codes, q_pos = _minimizers(q, k, w, rank_of, rank_bits)
-        qa, ta = _anchors(q_codes, q_pos, t_codes, t_pos)
+    for strand, (q_codes, q_pos) in (("+", fwd_min), ("-", rev_min)):
+        qa, ta = _anchors(q_codes, q_pos, t_sorted, t_sort_pos)
         chain = _chain(qa, ta, k)
         if chain is None:
             continue
@@ -143,22 +154,52 @@ def map_read(
     t_start, t_end = int(ct[0]), int(ct[-1]) + k
     if strand == "-":
         # PAF reports query coordinates on the original (+) strand
-        q_start, q_end = read.size - q_end, read.size - q_start
+        q_start, q_end = read_len - q_end, read_len - q_start
     block = max(q_end - q_start, t_end - t_start)
     n_match = min(n_anchor * k, block)
     frac = n_match / block if block else 0.0
     mapq = int(min(60, 60 * frac * (n_anchor / (n_anchor + 10))))
-    return Mapping(read.size, q_start, q_end, strand, center.size,
+    return Mapping(read_len, q_start, q_end, strand, t_len,
                    t_start, t_end, n_match, block, mapq)
+
+
+def map_read(
+    read: np.ndarray, center: np.ndarray,
+    rank_of: np.ndarray, rank_bits: int,
+    k: int = MAP_K, w: int = MAP_W,
+) -> Optional[Mapping]:
+    """Map one read against the center in both orientations; best chain wins."""
+    t_codes, t_pos = _minimizers(center, k, w, rank_of, rank_bits)
+    t_sort = np.argsort(t_codes, kind="stable")
+    fwd = _minimizers(read, k, w, rank_of, rank_bits)
+    rev = _minimizers(reverse_complement_bytes(read), k, w, rank_of, rank_bits)
+    return _map_one(read.size, center.size, k, fwd, rev,
+                    t_codes[t_sort], t_pos[t_sort])
 
 
 def map_reads_to_center(
     center: np.ndarray, reads: Sequence[np.ndarray],
     k: int = MAP_K, w: int = MAP_W,
 ) -> List[Optional[Mapping]]:
-    alphabet = np.unique(np.concatenate([center] + list(reads))) if reads else center
-    rank_of, rank_bits = alphabet_ranks(np.unique(alphabet))
-    return [map_read(r, center, rank_of, rank_bits, k, w) for r in reads]
+    """Map every read: one center minimizer index, two batched minimizer
+    passes (fw/rc), vectorized anchor joins, fast-path chaining."""
+    if not reads:
+        return []
+    present = np.zeros(256, dtype=bool)
+    present[center] = True
+    for r in reads:
+        present[r] = True
+    rank_of, rank_bits = alphabet_ranks(np.flatnonzero(present).astype(np.uint8))
+    t_codes, t_pos = _minimizers(center, k, w, rank_of, rank_bits)
+    t_sort = np.argsort(t_codes, kind="stable")
+    t_sorted, t_sort_pos = t_codes[t_sort], t_pos[t_sort]
+    fwd = batch_minimizers(list(reads), k, w, rank_of, rank_bits)
+    rev = batch_minimizers([reverse_complement_bytes(r) for r in reads],
+                           k, w, rank_of, rank_bits)
+    return [
+        _map_one(r.size, center.size, k, fwd[i], rev[i], t_sorted, t_sort_pos)
+        for i, r in enumerate(reads)
+    ]
 
 
 def write_paf(path: str, names: Sequence[str], mappings: Sequence[Optional[Mapping]],
