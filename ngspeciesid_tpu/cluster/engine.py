@@ -131,7 +131,7 @@ class MinimizerDB:
         table is materialized here (sorted codes, insertion-ordered
         postings) so the join is pure searchsorted — no per-code dict
         lookups on the wave path."""
-        if len(self.delta) > max(1024, self._base_codes.size // 4):
+        if len(self.delta) > max(256, self._base_codes.size // 16):
             self._compact()
         if self._delta_snap is None or self._delta_snap[0] != self._version:
             delta = self.delta

@@ -36,19 +36,33 @@ def concretize(rng, primer: str) -> str:
 
 
 def noisy(rng, template: str, e: float):
-    seq, qual = [], []
-    for ch in template:
-        r = rng.random()
-        if r < e / 3:
-            continue
-        seq.append(ch)
-        qual.append(int(rng.integers(33 + 8, 33 + 28)))
-        if r < 2 * e / 3:
-            seq.append(ACGT[rng.integers(0, 4)])
-            qual.append(int(rng.integers(33 + 8, 33 + 28)))
-        elif r < e:
-            seq[-1] = ACGT[rng.integers(0, 4)]
-    return "".join(seq), "".join(chr(q) for q in qual)
+    seq, qual = noisy_arrays(rng, np.frombuffer(template.encode(), np.uint8), e)
+    return seq.tobytes().decode(), qual.tobytes().decode()
+
+
+_ACGT_B = np.frombuffer(b"ACGT", np.uint8)
+
+
+def noisy_arrays(rng, template: np.ndarray, e: float):
+    """Vectorized ONT-style indel/sub noise (same per-base error model as
+    the scalar generator: del e/3, ins e/3, sub e/3)."""
+    n = template.size
+    r = rng.random(n)
+    keep = r >= e / 3
+    ins = keep & (r < 2 * e / 3)
+    sub = keep & (r >= 2 * e / 3) & (r < e)
+    kept = template.copy()
+    if sub.any():
+        kept[sub] = _ACGT_B[rng.integers(0, 4, size=int(sub.sum()))]
+    emit = keep.astype(np.int64) + ins          # bases emitted per template pos
+    total = int(emit.sum())
+    out = np.empty(total, dtype=np.uint8)
+    pos = np.cumsum(emit) - emit                # output offset per template pos
+    out[pos[keep]] = kept[keep]
+    if ins.any():
+        out[pos[ins] + 1] = _ACGT_B[rng.integers(0, 4, size=int(ins.sum()))]
+    qual = rng.integers(33 + 8, 33 + 28, size=total).astype(np.uint8)
+    return out, qual
 
 
 def main():
@@ -78,16 +92,25 @@ def main():
         core = "".join(ACGT[c] for c in rng.integers(0, 4, size=args.length))
         templates.append(fw_primer + core + rv_primer)
 
+    template_arrs = [np.frombuffer(t.encode(), np.uint8) for t in templates]
     truth = []
-    with open(args.out, "w") as f:
+    with open(args.out, "wb") as f:
+        parts = []
         for i in range(args.n_reads):
             sp = int(rng.integers(0, args.n_species))
-            seq, qual = noisy(rng, templates[sp], args.error)
+            seq, qual = noisy_arrays(rng, template_arrs[sp], args.error)
             if args.both_orientations and rng.random() < 0.5:
-                seq = reverse_complement(seq)
+                seq = np.frombuffer(
+                    reverse_complement(seq.tobytes().decode()).encode(), np.uint8)
                 qual = qual[::-1]
-            f.write(f"@sim_{i}_sp{sp}\n{seq}\n+\n{qual}\n")
-            truth.append((f"sim_{i}_sp{sp}", sp))
+            acc = f"sim_{i}_sp{sp}".encode()
+            parts.append(b"@" + acc + b"\n" + seq.tobytes() + b"\n+\n"
+                         + qual.tobytes() + b"\n")
+            truth.append((acc.decode(), sp))
+            if len(parts) >= 4096:
+                f.write(b"".join(parts))
+                parts = []
+        f.write(b"".join(parts))
     if args.truth_out:
         with open(args.truth_out, "w") as f:
             for acc, sp in truth:
