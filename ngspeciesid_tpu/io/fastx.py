@@ -71,7 +71,10 @@ def scan_fastq(path: str):
     if not data.startswith(b"@"):
         return None
     arr = np.frombuffer(data, dtype=np.uint8)
-    nl = np.flatnonzero(arr == 10)  # '\n'
+    from .. import native
+    nl = native.find_newlines(arr)
+    if nl is None:
+        nl = np.flatnonzero(arr == 10)  # '\n'
     if nl.size == 0:
         return None
     n_lines = nl.size + (1 if nl[-1] != arr.size - 1 else 0)

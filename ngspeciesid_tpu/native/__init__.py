@@ -142,6 +142,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.minimizers_native.restype = None
+        lib.find_newlines_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
+        lib.find_newlines_native.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -179,6 +184,24 @@ def _stage_rows(name: str, rows: List[np.ndarray], stride: int) -> np.ndarray:
     for i, r in enumerate(rows):
         mat[i, : r.size] = r
     return mat
+
+
+def find_newlines(data: np.ndarray) -> Optional[np.ndarray]:
+    """Positions of b'\\n' in a uint8 array via the SIMD scanner; None when
+    the native engine is unavailable (caller uses the numpy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(data.size)
+    cap = n // 256 + 1024           # typical fastq line >= ~300 bytes
+    while True:
+        out = np.empty(cap, dtype=np.int64)
+        got = lib.find_newlines_native(
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+        if got <= cap:
+            return out[:got]
+        cap = int(got)
 
 
 def align_batch_native(

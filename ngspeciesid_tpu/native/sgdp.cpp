@@ -608,6 +608,36 @@ int traceback(const DpScratch& scr,
 
 extern "C" {
 
+// Positions of newline bytes in data[0, n): fills out (capacity cap) and
+// returns the total count.  If the count exceeds cap the caller must retry
+// with a larger buffer (only the first cap positions are written).  One
+// SIMD compare + mask-walk per 64 bytes.
+int64_t find_newlines_native(const uint8_t* data, int64_t n,
+                             int64_t* out, int64_t cap) {
+    int64_t count = 0;
+    int64_t i = 0;
+#ifdef NGSID_AVX512
+    const __m512i vnl = _mm512_set1_epi8('\n');
+    for (; i + 64 <= n; i += 64) {
+        __mmask64 m = _mm512_cmpeq_epi8_mask(
+            _mm512_loadu_si512((const void*)(data + i)), vnl);
+        while (m) {
+            int b = __builtin_ctzll(m);
+            if (count < cap) out[count] = i + b;
+            ++count;
+            m &= m - 1;
+        }
+    }
+#endif
+    for (; i < n; ++i)
+        if (data[i] == '\n') {
+            if (count < cap) out[count] = i;
+            ++count;
+        }
+    return count;
+}
+
+
 // Batched DP + traceback.
 //   s1b: B x n_stride bytes, s2b: B x m_stride bytes (padded)
 //   moves_out: B x (n_stride + m_stride) bytes; moves_len: B
