@@ -305,6 +305,21 @@ def _sorted_candidate_order(store, groups, sum_pos):
     return order
 
 
+def _addr_cols(store: ReadStore):
+    """Per-store row address/length arrays for the pointer-row DP entry
+    (lazy; rows are contiguous buffer views kept alive by the store)."""
+    cols = getattr(store, "_addr_cols", None)
+    if cols is None:
+        n = len(store.seq_b)
+        addrs = np.fromiter((r.ctypes.data for r in store.seq_b),
+                            dtype=np.int64, count=n)
+        lens = np.fromiter((r.size for r in store.seq_b),
+                           dtype=np.int32, count=n)
+        cols = (addrs, lens)
+        store._addr_cols = cols
+    return cols
+
+
 def _native_cols(store: ReadStore):
     """Per-store columnar views for the native decision pass (cached)."""
     cols = getattr(store, "_native_cols", None)
@@ -445,55 +460,69 @@ def _run_alignments(
     sequential first-pass-wins rule is applied afterwards per read.  The
     per-pair ratios are pure functions of the pair, so sub-round rescoring
     reuses them through ``cache`` instead of re-running the DP."""
-    pairs = []
-    meta = []  # (wave_idx, order_in_read, read_row, rep_row)
-    for wi, row, rep_ids in requests:
-        for oi, rep in enumerate(rep_ids):
-            rrow = store.id_to_row[rep]
-            pairs.append((store.seq_b[row], store.seq_b[rrow]))
-            meta.append((wi, oi, row, rrow))
-    if not pairs:
-        return {}
-    gap_opens = []
-    match_ids = []
-    for (wi, oi, row, rrow) in meta:
-        ers = float(store.full_err[row]) + float(store.full_err[rrow])
-        gap_opens.append(_gap_open_tier(ers))
-        match_ids.append(math.floor((1.0 - ers) * cfg.k))
     if cache is None:
         cache = {}
-    todo = [pi for pi, (wi, oi, row, rrow) in enumerate(meta)
-            if (row, rrow) not in cache]
-    if todo:
-        sub_pairs = [pairs[pi] for pi in todo]
-        sub_opens = [gap_opens[pi] for pi in todo]
-        sub_mids = [match_ids[pi] for pi in todo]
+    id_to_row = store.id_to_row
+    full_err = store.full_err
+    seq_b = store.seq_b
+    k = cfg.k
+    from ..ops.align import stats_backend_default
+    use_ptr = stats_backend_default() == "native"
+    # one pass: resolve candidate rows, and build DP inputs only for pairs
+    # not already in the cache (gap tier / match_id are pair functions, so
+    # cache hits need none of that work)
+    per_read: List[Tuple[int, List[Tuple[int, int]]]] = []
+    todo_opens: List[int] = []
+    todo_mids: List[int] = []
+    todo_keys: List[Tuple[int, int]] = []
+    for wi, row, rep_ids in requests:
+        cand: List[Tuple[int, int]] = []
+        for rep in rep_ids:
+            rrow = id_to_row[rep]
+            key = (row, rrow)
+            cand.append(key)
+            if key not in cache:
+                cache[key] = None        # claimed: scheduled this batch
+                ers = float(full_err[row]) + float(full_err[rrow])
+                todo_opens.append(_gap_open_tier(ers))
+                todo_mids.append(math.floor((1.0 - ers) * k))
+                todo_keys.append(key)
+        per_read.append((wi, cand))
+    if todo_keys:
         # stats-only fast path: the fallback decision consumes two ratios
         # per pair, so DP + traceback + counting stay in the backend
-        # (native C / Pallas TPU kernel / host mirror)
-        fresh = block_stats_batch(
-            sub_pairs, sub_opens, [cfg.k] * len(sub_pairs), sub_mids,
-            band=cfg.align_band)
-        for si, pi in enumerate(todo):
-            _, _, row, rrow = meta[pi]
-            cache[(row, rrow)] = fresh[si]
-    stats = [cache[(meta[pi][2], meta[pi][3])] for pi in range(len(meta))]
+        # (native C via pointer rows — zero staging / Pallas TPU kernel /
+        # host mirror)
+        if use_ptr:
+            from .. import native
+            addrs, lens = _addr_cols(store)
+            r1 = np.fromiter((kk[0] for kk in todo_keys), np.int64,
+                             count=len(todo_keys))
+            r2 = np.fromiter((kk[1] for kk in todo_keys), np.int64,
+                             count=len(todo_keys))
+            fresh = native.block_stats_ptr_native(
+                addrs[r1], lens[r1], addrs[r2], lens[r2],
+                np.asarray(todo_opens, np.int32),
+                np.full(len(todo_keys), k, np.int32),
+                np.asarray(todo_mids, np.int32),
+                band=cfg.align_band)
+        else:
+            fresh = block_stats_batch(
+                [(seq_b[kk[0]], seq_b[kk[1]]) for kk in todo_keys],
+                todo_opens, [k] * len(todo_keys), todo_mids,
+                band=cfg.align_band)
+        for key, st in zip(todo_keys, fresh):
+            cache[key] = st
     winners: Dict[int, int] = {}
-    # group by wave_idx preserving candidate order
-    per_read: Dict[int, List[Tuple[int, int]]] = {}
-    for pi, (wi, oi, row, rrow) in enumerate(meta):
-        per_read.setdefault(wi, []).append((oi, pi))
-    for wi, lst in per_read.items():
-        lst.sort()
-        for oi, pi in lst:
-            _, _, row, rrow = meta[pi]
-            r1, r2 = stats[pi]
+    for wi, cand in per_read:
+        for key in cand:
+            r1, r2 = cache[key]
             if cfg.symmetric_map_align_thresholds:
                 ok = min(r1, r2) >= cfg.aligned_threshold
             else:
                 ok = r1 >= cfg.aligned_threshold
             if ok:
-                winners[wi] = int(store.ids[rrow])
+                winners[wi] = int(store.ids[key[1]])
                 break
     return winners
 

@@ -124,17 +124,25 @@ def build_store(
         if flat.size:
             starts[0] = True
             np.not_equal(flat[1:], flat[:-1], out=starts[1:])
-        starts[bounds[:-1][lens > 0]] = True    # run never spans two reads
-        run_pos = np.flatnonzero(starts)
-        comp = flat[run_pos]
-        # per-read compressed bounds: count of run starts before each read
-        # boundary (flatnonzero + searchsorted beat both a bool->int cumsum
-        # and ufunc.reduceat by an order of magnitude at 100M bases)
-        cb = np.searchsorted(run_pos, bounds)
+        nonempty = lens > 0
+        starts[bounds[:-1][nonempty]] = True    # run never spans two reads
+        comp = flat[starts]
+        # per-read kept counts via reduceat with an int64 accumulator: a
+        # bool->int cumsum takes numpy's buffered casting path (seconds at
+        # 1G bases) and materializing run positions costs size-of-kept * 8
+        # bytes (~9 GB at 1M ONT reads)
+        counts = np.zeros(n, dtype=np.int64)
+        if comp.size:
+            counts[nonempty] = np.add.reduceat(
+                starts, bounds[:-1][nonempty], dtype=np.int64)
+        cb = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=cb[1:])
         hpol = [comp[cb[i]:cb[i + 1]] for i in range(n)]
+        hpol_flat: Optional[Tuple[np.ndarray, np.ndarray]] = (comp, cb)
     else:
         flat = np.zeros(0, dtype=np.uint8)
         hpol = []
+        hpol_flat = None
 
     if rank_of is None:
         # alphabet detection: linear presence scan (np.unique would sort the
@@ -162,14 +170,34 @@ def build_store(
         for i in range(n):
             error_rates[i] = _hpol_error_rate(seq_b[i], qual_b[i])
             full_err[i] = _full_error_rate(qual_b[i])
-    eidx = np.empty(n, dtype=np.int8)
-    for i in range(n):
-        eidx[i] = int(round(clamp_error_rate(error_rates[i]) * 100)) - 1
-    minims = batch_minimizers(hpol, k, w, rank_of, rank_bits)
+    # eidx = int(round(clamp_error_rate(e) * 100)) - 1, vectorized.
+    # np.round(e, 2) equals python round(e, 2) except possibly when e*100
+    # sits within float noise of a .5 tie; those few go through the scalar
+    # path so the reference's table key (round-then-clamp, cluster.py:356-366)
+    # is reproduced exactly.
+    if n:
+        e2 = np.round(error_rates, 2)
+        frac = error_rates * 100.0
+        near_tie = np.abs(frac - np.floor(frac) - 0.5) < 1e-9
+        for i in np.flatnonzero(near_tie):
+            e2[i] = round(float(error_rates[i]), 2)
+        eidx = (np.clip(np.rint(e2 * 100.0), 1, 15) - 1).astype(np.int8)
+    else:
+        eidx = np.empty(0, dtype=np.int8)
+    if hpol_flat is not None:
+        # hpol rows are views into one compacted flat buffer (built above):
+        # the native engine scans it in place, no staging copies
+        from ..ops.minimizers import batch_minimizers_flat
+        minims = batch_minimizers_flat(hpol_flat[0], hpol_flat[1],
+                                       k, w, rank_of, rank_bits)
+    else:
+        minims = batch_minimizers(hpol, k, w, rank_of, rank_bits)
     min_codes = [m[0] for m in minims]
     min_pos = [m[1] for m in minims]
 
-    order = np.array(sorted(range(n), key=lambda i: accs[i]), dtype=np.int64)
+    # accession ranks: numpy unicode argsort == python str sort for the
+    # ascii accessions fastq headers carry (code-point order either way)
+    order = np.argsort(np.array(accs, dtype=np.str_), kind="stable")
     acc_rank = np.empty(n, dtype=np.int64)
     acc_rank[order] = np.arange(n)
 

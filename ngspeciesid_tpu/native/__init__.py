@@ -77,6 +77,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double),
         ]
         lib.sg_block_stats_native.restype = None
+        lib.sg_block_stats_ptr_native.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.sg_block_stats_ptr_native.restype = None
         lib.sg_identity_native.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -142,6 +152,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.minimizers_native.restype = None
+        lib.minimizers_flat_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.minimizers_flat_native.restype = None
         lib.find_newlines_native.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
@@ -271,6 +289,37 @@ def block_stats_native(
     return [(ratios[2 * i], ratios[2 * i + 1]) for i in range(B)]
 
 
+def block_stats_ptr_native(
+    s1_addr: np.ndarray, len1: np.ndarray,
+    s2_addr: np.ndarray, len2: np.ndarray,
+    gap_opens: np.ndarray, ks: np.ndarray, match_ids: np.ndarray,
+    match: int = 2, mismatch: int = -2, gap_ext: int = 1, band: int = 0,
+):
+    """block_stats over rows addressed by pointer arrays (int64 addresses of
+    contiguous uint8 rows) — no staging copies.  The caller must keep the
+    owning buffers alive for the duration of the call."""
+    lib = get_lib()
+    assert lib is not None
+    B = int(len1.size)
+    ratios = np.empty(2 * B, dtype=np.float64)
+
+    def p(arr, typ):
+        return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+    lib.sg_block_stats_ptr_native(
+        p(np.ascontiguousarray(s1_addr, np.int64), ctypes.c_int64),
+        p(np.ascontiguousarray(s2_addr, np.int64), ctypes.c_int64),
+        p(np.ascontiguousarray(len1, np.int32), ctypes.c_int32),
+        p(np.ascontiguousarray(len2, np.int32), ctypes.c_int32),
+        p(np.ascontiguousarray(gap_opens, np.int32), ctypes.c_int32),
+        p(np.ascontiguousarray(ks, np.int32), ctypes.c_int32),
+        p(np.ascontiguousarray(match_ids, np.int32), ctypes.c_int32),
+        B, match, mismatch, gap_ext, band,
+        p(ratios, ctypes.c_double),
+    )
+    return [(ratios[2 * i], ratios[2 * i + 1]) for i in range(B)]
+
+
 def read_error_stats_native(
     seqs: List[np.ndarray], quals: List[np.ndarray], p_table: np.ndarray,
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -393,6 +442,53 @@ def minimizers_native(
     src = np.repeat(np.arange(B, dtype=np.int64) * stride, counts) + within
     flat_codes = out_codes.reshape(-1)[src]
     flat_pos = out_pos.reshape(-1)[src]
+    return [(flat_codes[bounds[b]:bounds[b + 1]], flat_pos[bounds[b]:bounds[b + 1]])
+            for b in range(B)]
+
+
+def minimizers_flat_native(
+    flat: np.ndarray, offsets: np.ndarray, k: int, w: int,
+    rank_of: np.ndarray, rank_bits: int,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Minimizers over rows of one contiguous buffer (row b spans
+    flat[offsets[b], offsets[b+1])) — no staging copies.  Same emission
+    semantics as minimizers_native; per-row results are views into two
+    fresh compacted flat arrays."""
+    lib = get_lib()
+    assert lib is not None
+    B = int(offsets.size) - 1
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    if B > 8192:  # bound the int64 output scratch (2 entries per input byte)
+        out: List[Tuple[np.ndarray, np.ndarray]] = []
+        for s in range(0, B, 8192):
+            sub = offsets[s : s + 8193]
+            out.extend(minimizers_flat_native(
+                flat[sub[0]:sub[-1]], sub - sub[0], k, w, rank_of, rank_bits))
+        return out
+    total = int(offsets[-1])
+    out_codes = _scratch_buf("minf.codes", (max(total, 1),), np.int64)
+    out_pos = _scratch_buf("minf.pos", (max(total, 1),), np.int64)
+    out_counts = _scratch_buf("minf.counts", (max(B, 1),), np.int32)
+    rank_of = np.ascontiguousarray(rank_of, dtype=np.int64)
+
+    def p(arr, typ):
+        return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+    lib.minimizers_flat_native(
+        p(flat, ctypes.c_uint8), p(offsets, ctypes.c_int64), B, k, w,
+        p(rank_of, ctypes.c_int64), rank_bits,
+        p(out_codes, ctypes.c_int64), p(out_pos, ctypes.c_int64),
+        p(out_counts, ctypes.c_int32),
+    )
+    counts = out_counts[:B].astype(np.int64)
+    bounds = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    n_out = int(bounds[-1])
+    within = np.arange(n_out, dtype=np.int64) - np.repeat(bounds[:-1], counts)
+    src = np.repeat(offsets[:-1], counts) + within
+    flat_codes = out_codes[src]
+    flat_pos = out_pos[src]
     return [(flat_codes[bounds[b]:bounds[b + 1]], flat_pos[bounds[b]:bounds[b + 1]])
             for b in range(B)]
 

@@ -673,6 +673,37 @@ void sg_align_batch_native(
 // (terminal gaps included, like a parasail CIGAR) and count rolling windows
 // of k columns with >= match_id matches (reference cluster.py:144-168).
 // ratios[2b] = aligned / len1, ratios[2b+1] = aligned / len2.
+static void block_stats_pair(
+    const uint8_t* s1, const uint8_t* s2, int n, int m,
+    int gap_open, int k, int match_id,
+    int match, int mismatch, int gap_ext, int band_hw,
+    DpScratch& scr, std::vector<uint8_t>& mv, double* out2) {
+    PairResult res;
+    dp_single(s1, s2, n, m, gap_open, match, mismatch, gap_ext,
+              band_hw, scr, &res);
+    int len = traceback(scr, n, m, res.end_i, res.end_j, scr.moves.data());
+    const uint8_t* moves = scr.moves.data();
+    if (len < k) { out2[0] = 0.0; out2[1] = 0.0; return; }
+    // match vector + rolling window in one pass
+    if ((int)mv.size() < len) mv.resize(len);
+    int i = 0, j = 0;
+    for (int t = 0; t < len; ++t) {
+        uint8_t op = moves[t];
+        if (op == MV_DIAG) { mv[t] = s1[i] == s2[j]; ++i; ++j; }
+        else if (op == MV_UP) { mv[t] = 0; ++i; }
+        else { mv[t] = 0; ++j; }
+    }
+    int window = 0, aligned = 0;
+    for (int t = 0; t < k; ++t) window += mv[t];
+    aligned += window >= match_id;
+    for (int t = k; t < len; ++t) {
+        window += mv[t] - mv[t - k];
+        aligned += window >= match_id;
+    }
+    out2[0] = (double)aligned / n;
+    out2[1] = (double)aligned / m;
+}
+
 void sg_block_stats_native(
     const uint8_t* s1b, const uint8_t* s2b,
     const int32_t* len1, const int32_t* len2, const int32_t* gap_opens,
@@ -689,37 +720,40 @@ void sg_block_stats_native(
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
 #endif
-        for (int b = 0; b < B; ++b) {
-            int n = len1[b], m = len2[b];
-            PairResult res;
-            const uint8_t* s1 = s1b + (size_t)b * n_stride;
-            const uint8_t* s2 = s2b + (size_t)b * m_stride;
-            dp_single(s1, s2, n, m, gap_opens[b], match, mismatch, gap_ext,
-                      band_hw, scr, &res);
-            int len = traceback(scr, n, m, res.end_i, res.end_j,
-                                scr.moves.data());
-            const uint8_t* moves = scr.moves.data();
-            int k = ks[b], match_id = match_ids[b];
-            if (len < k) { ratios[2 * b] = 0.0; ratios[2 * b + 1] = 0.0; continue; }
-            // match vector + rolling window in one pass
-            if ((int)mv.size() < len) mv.resize(len);
-            int i = 0, j = 0;
-            for (int t = 0; t < len; ++t) {
-                uint8_t op = moves[t];
-                if (op == MV_DIAG) { mv[t] = s1[i] == s2[j]; ++i; ++j; }
-                else if (op == MV_UP) { mv[t] = 0; ++i; }
-                else { mv[t] = 0; ++j; }
-            }
-            int window = 0, aligned = 0;
-            for (int t = 0; t < k; ++t) window += mv[t];
-            aligned += window >= match_id;
-            for (int t = k; t < len; ++t) {
-                window += mv[t] - mv[t - k];
-                aligned += window >= match_id;
-            }
-            ratios[2 * b] = (double)aligned / n;
-            ratios[2 * b + 1] = (double)aligned / m;
-        }
+        for (int b = 0; b < B; ++b)
+            block_stats_pair(s1b + (size_t)b * n_stride,
+                             s2b + (size_t)b * m_stride,
+                             len1[b], len2[b], gap_opens[b],
+                             ks[b], match_ids[b],
+                             match, mismatch, gap_ext, band_hw,
+                             scr, mv, ratios + 2 * b);
+    }
+}
+
+// Pointer-row variant: sequence rows live wherever the caller's buffers
+// are (s1_addr/s2_addr hold their addresses) — no padded staging copies.
+void sg_block_stats_ptr_native(
+    const int64_t* s1_addr, const int64_t* s2_addr,
+    const int32_t* len1, const int32_t* len2, const int32_t* gap_opens,
+    const int32_t* ks, const int32_t* match_ids,
+    int B, int match, int mismatch, int gap_ext, int band_hw,
+    double* ratios) {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        DpScratch scr;
+        std::vector<uint8_t> mv;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int b = 0; b < B; ++b)
+            block_stats_pair((const uint8_t*)(uintptr_t)s1_addr[b],
+                             (const uint8_t*)(uintptr_t)s2_addr[b],
+                             len1[b], len2[b], gap_opens[b],
+                             ks[b], match_ids[b],
+                             match, mismatch, gap_ext, band_hw,
+                             scr, mv, ratios + 2 * b);
     }
 }
 
@@ -1021,25 +1055,13 @@ void stage1_stats_native(
 // caller falls back to the numpy path otherwise).
 //   rank_of: 256 int64 byte ranks (1-based; 0 = padding)
 //   out_codes/out_pos: B x stride flat; out_counts: emissions per read
-void minimizers_native(
-    const uint8_t* seqs, const int32_t* lens, int B, int stride,
-    int k, int w, const int64_t* rank_of, int rank_bits,
-    int64_t* out_codes, int64_t* out_pos, int32_t* out_counts) {
-    const int win = w - k + 1;
-#ifdef _OPENMP
-#pragma omp parallel
-#endif
+static int minimizer_row(
+    const uint8_t* s, int L, int k, int win,
+    const int64_t* rank_of, int rank_bits,
+    std::vector<int64_t>& codes, int64_t* oc, int64_t* op) {
     {
-        std::vector<int64_t> codes;
-#ifdef _OPENMP
-#pragma omp for schedule(dynamic, 16)
-#endif
-        for (int b = 0; b < B; ++b) {
-            const uint8_t* s = seqs + (size_t)b * stride;
-            int L = lens[b];
-            int64_t* oc = out_codes + (size_t)b * stride;
-            int64_t* op = out_pos + (size_t)b * stride;
-            if (L < k) { out_counts[b] = 0; continue; }
+        {
+            if (L < k) { return 0; }
             if ((int)codes.size() < L) codes.resize(L);
             // packed rank codes at every start position; truncated tail
             // k-mers are right-padded with rank 0 (prefix-sorts-first)
@@ -1072,8 +1094,7 @@ void minimizers_native(
                     if (c < best) { best = c; best_pos = j; }
                 }
                 oc[0] = best; op[0] = best_pos;
-                out_counts[b] = 1;
-                continue;
+                return 1;
             }
             // first full window
             int64_t cur = codes[0];
@@ -1097,8 +1118,54 @@ void minimizers_native(
                     oc[cnt] = cur; op[cnt] = cur_pos; ++cnt;
                 }
             }
-            out_counts[b] = cnt;
+            return cnt;
         }
+    }
+}
+
+// Padded-matrix entry (rows at b*stride in/out).
+void minimizers_native(
+    const uint8_t* seqs, const int32_t* lens, int B, int stride,
+    int k, int w, const int64_t* rank_of, int rank_bits,
+    int64_t* out_codes, int64_t* out_pos, int32_t* out_counts) {
+    const int win = w - k + 1;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int64_t> codes;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
+        for (int b = 0; b < B; ++b)
+            out_counts[b] = minimizer_row(
+                seqs + (size_t)b * stride, lens[b], k, win, rank_of, rank_bits,
+                codes, out_codes + (size_t)b * stride,
+                out_pos + (size_t)b * stride);
+    }
+}
+
+// Flat-input entry: row b spans flat[in_off[b], in_off[b+1]); outputs are
+// written at base in_off[b] (counts <= row length always holds).  No
+// staging copies — the whole batch is one contiguous buffer.
+void minimizers_flat_native(
+    const uint8_t* flat, const int64_t* in_off, int B,
+    int k, int w, const int64_t* rank_of, int rank_bits,
+    int64_t* out_codes, int64_t* out_pos, int32_t* out_counts) {
+    const int win = w - k + 1;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int64_t> codes;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
+        for (int b = 0; b < B; ++b)
+            out_counts[b] = minimizer_row(
+                flat + in_off[b], (int)(in_off[b + 1] - in_off[b]), k, win,
+                rank_of, rank_bits,
+                codes, out_codes + in_off[b], out_pos + in_off[b]);
     }
 }
 

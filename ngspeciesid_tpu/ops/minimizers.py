@@ -185,6 +185,25 @@ def _batch_minimizers_padded(
 _CHUNK = 512
 
 
+def batch_minimizers_flat(
+    flat: np.ndarray, offsets: np.ndarray, k: int, w: int,
+    rank_of: np.ndarray, rank_bits: int,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """batch_minimizers over rows of one contiguous buffer (row b spans
+    flat[offsets[b], offsets[b+1])): the native engine reads in place —
+    zero staging copies.  Falls back to slicing + batch_minimizers."""
+    import os
+
+    if k * rank_bits <= 62 and os.environ.get("NGSID_MINIMIZERS") != "python":
+        from .. import native
+
+        if native.available():
+            return native.minimizers_flat_native(
+                flat, offsets, k, w, rank_of, rank_bits)
+    rows = [flat[offsets[i]:offsets[i + 1]] for i in range(offsets.size - 1)]
+    return batch_minimizers(rows, k, w, rank_of, rank_bits)
+
+
 def batch_minimizers(
     seqs: List[np.ndarray], k: int, w: int, rank_of: np.ndarray, rank_bits: int
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
