@@ -85,3 +85,53 @@ class TestSampleH1:
             clusters.setdefault(cl, []).append(acc.strip())
         sizes = sorted((len(v) for v in clusters.values()), reverse=True)
         assert sizes[0] > 100 and sizes[0] + sizes[1] > 200
+
+
+class TestMultiSpeciesAccuracy:
+    """Simulated multi-species pool end-to-end: exactly one polished
+    consensus per species, each within the <=1-edit BASELINE target of its
+    template (best orientation — RC-merge keeps the bigger side's strand)."""
+
+    def test_three_species_consensus(self, rng, tmp_path):
+        from ngspeciesid_tpu.ops.edit import _dp_rows
+        from ngspeciesid_tpu.utils.seqs import reverse_complement
+
+        from .test_poa import make_template, noisy_copy
+
+        n_per, length = 150, 450
+        templates = [make_template(rng, length) for _ in range(3)]
+        pool = tmp_path / "pool.fastq"
+        with open(pool, "w") as f:
+            i = 0
+            for sp, t in enumerate(templates):
+                for _ in range(n_per):
+                    r, q = noisy_copy(rng, t, 0.07)
+                    s = r.tobytes().decode()
+                    qs = q.tobytes().decode()
+                    if rng.random() < 0.5:
+                        s = reverse_complement(s)
+                        qs = qs[::-1]
+                    f.write(f"@sim_{i}_sp{sp}\n{s}\n+\n{qs}\n")
+                    i += 1
+        out = tmp_path / "out"
+        cli_main(["--ont", "--fastq", str(pool), "--outfolder", str(out),
+                  "--consensus", "--medaka", "--t", "1"])
+        import glob
+        cons_files = sorted(glob.glob(str(out / "medaka_cl_id_*" / "consensus.fasta")))
+        assert len(cons_files) == 3
+
+        def ed(a, b):
+            A = np.frombuffer(a.encode(), np.uint8)
+            B = np.frombuffer(b.encode(), np.uint8)
+            return int(_dp_rows(A, B, anchored=True)[B.size])
+
+        matched = set()
+        for cf in cons_files:
+            seq = _fasta_seq(cf)
+            d, j = min(
+                (min(ed(seq, t.tobytes().decode()),
+                     ed(seq, reverse_complement(t.tobytes().decode()))), j)
+                for j, t in enumerate(templates))
+            assert d <= 1, f"{cf}: {d} edits from nearest template"
+            matched.add(j)
+        assert matched == {0, 1, 2}
