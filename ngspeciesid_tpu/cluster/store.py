@@ -16,8 +16,7 @@ import numpy as np
 
 from ..ops.minimizers import alphabet_ranks, batch_minimizers
 from ..utils.phred import PHRED_TO_P_CAPPED
-from ..utils.ptable import clamp_error_rate
-from ..utils.seqs import hpol_compress_bytes, hpol_compressed_qual_bytes, seq_bytes
+from ..utils.seqs import hpol_compressed_qual_bytes, seq_bytes
 from ..utils.phred import qual_bytes
 
 
