@@ -1217,6 +1217,15 @@ int64_t decide_wave_native(
     {
         std::vector<Cand> cands;
         std::vector<int32_t> order;
+        // per-thread hash: rep id -> candidate slot (open addressing, pow2
+        // size).  Generation stamps make per-read reuse free — a slot is
+        // live iff hgen[h] == gen, so no clearing between reads (the
+        // per-read vector construction was the dominant cost of this pass).
+        size_t hcap = 1024;
+        std::vector<int64_t> hkey(hcap);
+        std::vector<int32_t> hval(hcap);
+        std::vector<uint32_t> hgen(hcap, 0);
+        uint32_t gen = 0;
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 16)
 #endif
@@ -1228,34 +1237,36 @@ int64_t decide_wave_native(
             const int8_t e_read = eidx[read_row];
             const int64_t n_min = roff[i + 1] - roff[i];
             cands.clear();
-            // hash: rep id -> candidate slot (open addressing, pow2 size)
-            size_t hcap = 64;
-            std::vector<int64_t> hkey(hcap, -1);
-            std::vector<int32_t> hval(hcap);
+            if (++gen == 0) {           // stamp wrap: hard reset
+                std::fill(hgen.begin(), hgen.end(), 0u);
+                gen = 1;
+            }
             auto grow = [&]() {
                 size_t ncap = hcap * 2;
-                std::vector<int64_t> nk(ncap, -1);
+                std::vector<int64_t> nk(ncap);
                 std::vector<int32_t> nv(ncap);
+                std::vector<uint32_t> ng(ncap, 0);
                 for (size_t s = 0; s < hcap; ++s) {
-                    if (hkey[s] < 0) continue;
+                    if (hgen[s] != gen) continue;
                     size_t h = (size_t)(hkey[s] * 0x9E3779B97F4A7C15ULL) & (ncap - 1);
-                    while (nk[h] >= 0) h = (h + 1) & (ncap - 1);
-                    nk[h] = hkey[s]; nv[h] = hval[s];
+                    while (ng[h] == gen) h = (h + 1) & (ncap - 1);
+                    nk[h] = hkey[s]; nv[h] = hval[s]; ng[h] = gen;
                 }
-                hkey.swap(nk); hval.swap(nv); hcap = ncap;
+                hkey.swap(nk); hval.swap(nv); hgen.swap(ng); hcap = ncap;
             };
             auto hit = [&](int64_t rep, int64_t mi, int64_t p) {
                 if (rep == self_id) return;
                 size_t h = (size_t)(rep * 0x9E3779B97F4A7C15ULL) & (hcap - 1);
-                while (hkey[h] >= 0 && hkey[h] != rep) h = (h + 1) & (hcap - 1);
+                while (hgen[h] == gen && hkey[h] != rep) h = (h + 1) & (hcap - 1);
                 int32_t ci;
-                if (hkey[h] < 0) {
+                if (hgen[h] != gen) {
                     if (cands.size() * 2 >= hcap) {
                         grow();
                         h = (size_t)(rep * 0x9E3779B97F4A7C15ULL) & (hcap - 1);
-                        while (hkey[h] >= 0 && hkey[h] != rep) h = (h + 1) & (hcap - 1);
+                        while (hgen[h] == gen && hkey[h] != rep) h = (h + 1) & (hcap - 1);
                     }
                     hkey[h] = rep;
+                    hgen[h] = gen;
                     ci = (int32_t)cands.size();
                     hval[h] = ci;
                     Cand c;
