@@ -203,3 +203,28 @@ class TestMinimizersNative:
             [np.frombuffer(b"ACGTA", dtype=np.uint8)], 13, 20,
             rank_of, rank_bits)
         assert got[0][0].size == 0 and got[0][1].size == 0
+
+
+class TestInt32LanePath:
+    def test_long_pairs_use_int32_and_match_oracle(self, rng):
+        # (n + m + 2) * unit + open + 64 > 16000 forces the int32 rows
+        # (fits_int16 gate); long-center RC detection hits this path
+        pairs, opens = [], []
+        for _ in range(3):
+            a = rand_seq(rng, int(rng.integers(1600, 1900)))
+            b = mutate(rng, a, 0.1)
+            pairs.append((a, b))
+            opens.append(int(rng.choice([2, 3])))
+        got = native.align_batch_native(pairs, opens)
+        want = sg_align_batch(pairs, opens, backend="numpy")
+        for g, w in zip(got, want):
+            assert g.tolist() == w.tolist()
+
+    def test_long_pairs_banded(self, rng):
+        a = rand_seq(rng, 2000)
+        b = mutate(rng, a, 0.08)
+        got = native.align_batch_native([(a, b)], [3], band=150)
+        # banded long pair: same-template, so the band contains the optimal
+        # path and the result matches the full DP
+        want = native.align_batch_native([(a, b)], [3], band=0)
+        assert got[0].tolist() == want[0].tolist()
