@@ -490,8 +490,16 @@ void dp_single_fused_i16(const uint8_t* s1, const uint8_t* s2,
             __mmask32 fm = _mm512_cmp_epi16_mask(fo, fe, _MM_CMPINT_NLT);
             __m512i Fp = _mm512_max_epi16(fo, fe);
             _mm512_storeu_si512(Fr + j, Fp);
+            // Tail-masked load: the final block may overrun j_hi by up to
+            // 31 lanes and s2 rows are exactly len2 bytes (ptr-path rows and
+            // the last staging row have no tail padding).  Masked-off lanes
+            // read as 0; their eq bits only feed overrun cells, which are
+            // restored from the saved tails / never consumed.
+            const unsigned rem = (unsigned)(j_hi - j + 1);
+            const __mmask32 ldm =
+                rem >= 32 ? (__mmask32)~0u : (((__mmask32)1u << rem) - 1u);
             __mmask32 eq = _mm256_cmpeq_epi8_mask(
-                _mm256_loadu_si256((const __m256i*)(s2 + j - 1)), vc1b);
+                _mm256_maskz_loadu_epi8(ldm, (const void*)(s2 + j - 1)), vc1b);
             __m512i sub = _mm512_mask_blend_epi16(eq, vmis, vmatch);
             __m512i dg = _mm512_add_epi16(Hm1, sub);
             __m512i hn = _mm512_max_epi16(dg, Fp);

@@ -99,8 +99,14 @@ def _chain(qa: np.ndarray, ta: np.ndarray, k: int) -> Optional[Tuple[np.ndarray,
         if ((dq > 0).all() and (dt > 0).all()
                 and (np.abs(dq - dt) <= MAX_GAP).all()):
             # clean colinear anchor set (the common case for real reads):
-            # chaining every anchor maximizes seed coverage, which is what
-            # the DP below returns — skip its per-anchor python loop
+            # chain every anchor and skip the per-anchor python DP below.
+            # This is a deliberate heuristic shortcut, not an equivalence:
+            # the DP can still prefer dropping an anchor when consecutive
+            # diagonal offsets cancel (e.g. +g then -g makes the skip-gap
+            # 0 while per-pair penalties stay ~0.5*log2(g+1) each), so
+            # n_match / mapq / chain endpoints may differ in such corner
+            # cases.  Acceptable for this mapper's role (PAF observability
+            # + polish windows, SURVEY.md N4 "only approximate mapping").
             if n < MIN_CHAIN:
                 return None
             return qa, ta

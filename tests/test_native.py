@@ -228,3 +228,49 @@ class TestInt32LanePath:
         # path and the result matches the full DP
         want = native.align_batch_native([(a, b)], [3], band=0)
         assert got[0].tolist() == want[0].tolist()
+
+
+class TestGuardPage:
+    def test_ptr_path_sequence_at_page_end(self, rng):
+        # Regression for the tail s2 vector load (sgdp.cpp dp_single_fused_i16):
+        # the final 32-lane block used to read up to 30 bytes past the end of
+        # s2.  Place each sequence so it ends exactly at a page boundary with
+        # a PROT_NONE guard page after it; any overrun read is a SIGSEGV.
+        import mmap
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        page = mmap.PAGESIZE
+
+        def guarded_copy(seq):
+            buf = mmap.mmap(-1, 2 * page)
+            addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+            assert libc.mprotect(ctypes.c_void_p(addr + page), page, 0) == 0
+            start = page - seq.size
+            buf[start:page] = seq.tobytes()
+            return buf, addr + start
+
+        keep = []
+        s1_addr, s2_addr, len1, len2 = [], [], [], []
+        pairs = []
+        for n in (33, 64, 95, 127, 200, 633):
+            a = rand_seq(rng, n)
+            b = mutate(rng, a, 0.1)
+            for s, addrs, lens in ((a, s1_addr, len1), (b, s2_addr, len2)):
+                buf, addr = guarded_copy(s)
+                keep.append(buf)
+                addrs.append(addr)
+                lens.append(s.size)
+            pairs.append((a, b))
+        B = len(pairs)
+        opens = [3] * B
+        ks = [13] * B
+        mids = [9] * B
+        got = native.block_stats_ptr_native(
+            np.array(s1_addr, np.int64), np.array(len1, np.int32),
+            np.array(s2_addr, np.int64), np.array(len2, np.int32),
+            np.array(opens, np.int32), np.array(ks, np.int32),
+            np.array(mids, np.int32))
+        want = native.block_stats_native(pairs, opens, ks, mids)
+        assert got == want
+        del keep
