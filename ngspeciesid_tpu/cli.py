@@ -84,8 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--min_prob_no_hits", type=float, default=0.1,
                         help="Minimum probability for a minimizer gap to count as mapped")
     parser.add_argument("--outfolder", type=str, default=None, help="Output folder")
-    parser.add_argument("--wave_size", type=int, default=256,
-                        help="Reads scored per device wave (TPU batching knob)")
+    parser.add_argument("--wave_size", type=int, default=0,
+                        help="Reads scored per device wave (TPU batching "
+                             "knob); 0 = auto (256 native / 4096 pallas)")
     parser.add_argument("--align_band", type=int, default=150,
                         help="Alignment DP band half-width (0 = full DP, reference-exact)")
     parser.add_argument("--seed", type=int, default=0,

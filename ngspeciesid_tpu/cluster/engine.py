@@ -437,6 +437,11 @@ def _decide_waves_np(
     return results
 
 
+def _native_available() -> bool:
+    from .. import native
+    return native.available()
+
+
 def _gap_open_tier(error_rate_sum: float) -> int:
     """Error-rate-tiered gap opening penalty (cluster.py:189-196)."""
     if error_rate_sum <= 0.01:
@@ -466,8 +471,8 @@ def _run_alignments(
     full_err = store.full_err
     seq_b = store.seq_b
     k = cfg.k
-    from ..ops.align import stats_backend_default
-    use_ptr = stats_backend_default() == "native"
+    from ..ops.align import _PALLAS_MIN_BATCH, stats_backend_default
+    backend = stats_backend_default()
     # one pass: resolve candidate rows, and build DP inputs only for pairs
     # not already in the cache (gap tier / match_id are pair functions, so
     # cache hits need none of that work)
@@ -491,9 +496,12 @@ def _run_alignments(
     if todo_keys:
         # stats-only fast path: the fallback decision consumes two ratios
         # per pair, so DP + traceback + counting stay in the backend
-        # (native C via pointer rows — zero staging / Pallas TPU kernel /
-        # host mirror)
-        if use_ptr:
+        # (native C via pointer rows — zero staging / Pallas TPU kernel
+        # via the deduplicated row pool / host mirror)
+        use_pallas = (backend == "pallas"
+                      and len(todo_keys) >= _PALLAS_MIN_BATCH)
+        if backend == "native" or (backend == "pallas" and not use_pallas
+                                   and _native_available()):
             from .. import native
             addrs, lens = _addr_cols(store)
             r1 = np.fromiter((kk[0] for kk in todo_keys), np.int64,
@@ -506,11 +514,19 @@ def _run_alignments(
                 np.full(len(todo_keys), k, np.int32),
                 np.asarray(todo_mids, np.int32),
                 band=cfg.align_band)
+        elif use_pallas:
+            from ..ops.align_stats_pallas import sg_stats_pool_pallas
+            stats3 = sg_stats_pool_pallas(
+                seq_b, [kk[0] for kk in todo_keys],
+                [kk[1] for kk in todo_keys],
+                todo_opens, [k] * len(todo_keys), todo_mids,
+                band=cfg.align_band)
+            fresh = [(r1, r2) for r1, r2, _ in stats3]
         else:
             fresh = block_stats_batch(
                 [(seq_b[kk[0]], seq_b[kk[1]]) for kk in todo_keys],
                 todo_opens, [k] * len(todo_keys), todo_mids,
-                band=cfg.align_band)
+                band=cfg.align_band, backend=backend)
         for key, st in zip(todo_keys, fresh):
             cache[key] = st
     winners: Dict[int, int] = {}
@@ -561,10 +577,19 @@ def reads_to_clusters(
     alive: List[int] = [int(store.ids[r]) for r in skipped_rows]
 
     aln_cache: Dict[Tuple[int, int], Tuple[float, float]] = {}
-    wave_size = max(1, cfg.wave_size)
+    wave_size = cfg.wave_size
+    if wave_size <= 0:
+        # auto: the Pallas backend amortizes its per-launch host-link round
+        # trip over large speculative waves; the in-process native engine
+        # prefers smaller waves (less speculative DP on conflict replay)
+        from ..ops.align import stats_backend_default
+        wave_size = 4096 if stats_backend_default() == "pallas" else 256
+    wave_size = max(1, wave_size)
     to_process = rows[process_mask]
     n = to_process.size
     heartbeats = cfg.print_output if cfg.print_output else 0
+    if heartbeats:
+        logger.debug("Iteration\tNrClusters\tMinDbSize\tCurrReadId\tClusterSizes")
 
     global_i = 0
     wave_start = 0
@@ -630,8 +655,21 @@ def reads_to_clusters(
                     break_at = wi
                     break
                 if heartbeats and global_i % heartbeats == 0:
-                    logger.debug("processed %d reads, %d representatives, db size %d",
-                                 global_i, len(alive), len(state.db))
+                    # reference cluster.py:253-259: sorted profile of the
+                    # nontrivial (size > 1) cluster sizes so far
+                    inv: Dict[int, List[int]] = {}
+                    for src, dst in state.cluster_to_new.items():
+                        inv.setdefault(dst, []).append(src)
+                    sizes = sorted(
+                        (1 + sum(len(state.clusters[c]) for c in members)
+                         for members in inv.values()),
+                        reverse=True)
+                    sizes = [s for s in sizes if s > 1]
+                    logger.debug(
+                        "%d\t%d\t%d\t%s\t%s", global_i, len(sizes),
+                        len(state.db),
+                        "_".join(str(store.accs[row]).split("_")[:-1]),
+                        ",".join(str(s) for s in sizes))
                 global_i += 1
                 dec = final_dec[row]
                 if dec >= 0:

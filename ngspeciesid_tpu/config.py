@@ -59,7 +59,8 @@ class Config:
     trim_window: int = 150
 
     # TPU execution knobs (no reference analog)
-    wave_size: int = 256              # reads scored per device wave in clustering
+    wave_size: int = 0                # reads scored per wave; 0 = auto (256
+                                      # native / 4096 pallas, engine.py)
     seed: int = 0                     # RNG seed for subsampling (reference is unseeded)
     align_band: int = 150             # DP band half-width (0 = full/reference-exact DP)
     resume: bool = False              # content-addressed stage artifact reuse

@@ -22,6 +22,7 @@ from __future__ import annotations
 import glob
 import logging
 import os
+import re
 import shutil
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -214,20 +215,39 @@ def detect_reverse_complements(centers: List[List], rc_identity_threshold: float
 # polishing drivers (C14)
 # ---------------------------------------------------------------------------
 
+#: medaka model names (reference forwards --medaka_model as medaka's -m,
+#: consensus.py:100-101): r941_min_high_g360-style basecaller profiles.
+_MEDAKA_NAME = re.compile(r"^r\d+(_[a-z0-9]+)*$", re.IGNORECASE)
+
+
 def _load_neural_polisher(medaka_model: str):
-    """--medaka_model: path to trained GRU polisher params (models/train.py);
-    empty/default -> the deterministic quality-weighted pileup caller.
-    (The reference forwards the flag as medaka's `-m` model name,
-    consensus.py:100-101.)"""
+    """Resolve --medaka_model.
+
+    * empty (reference default) -> deterministic quality-weighted pileup
+      caller.
+    * a known medaka model NAME (e.g. ``r941_min_high_g360``) -> also the
+      deterministic caller: scripts/eval_polisher.py shows it matches the
+      bundled GRU at every amplicon depth x error cell, so model names map
+      to the caller rather than to an unproven net (SURVEY N6 demotion).
+    * a path to trained GRU params (models/train.py npz) -> the GRU head.
+    * anything else -> error (never a silent fallback to a different
+      polisher than the one asked for).
+    """
     if not medaka_model:
         return None
-    import os as _os
-    if not _os.path.isfile(medaka_model):
-        logger.warning("medaka_model %r not found; using pileup caller", medaka_model)
+    if os.path.isfile(medaka_model):
+        from ..models.polisher import neural_polish_round
+        from ..models.train import load_params
+        return load_params(medaka_model), neural_polish_round
+    if _MEDAKA_NAME.match(medaka_model):
+        logger.info(
+            "medaka model %r: using the quality-weighted pileup caller "
+            "(accuracy-equivalent at amplicon depth; scripts/eval_polisher.py)",
+            medaka_model)
         return None
-    from ..models.polisher import neural_polish_round
-    from ..models.train import load_params
-    return load_params(medaka_model), neural_polish_round
+    raise ValueError(
+        f"--medaka_model {medaka_model!r} is neither a medaka model name "
+        f"nor a GRU params file (models/train.py npz)")
 
 
 #: Polishing depth cap: beyond ~1000x the pileup plurality is statistically

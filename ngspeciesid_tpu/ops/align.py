@@ -479,18 +479,34 @@ def stats_backend_default() -> str:
     """Pick the stats-only alignment backend.
 
     ``NGSID_STATS_BACKEND`` overrides (native | pallas | host).  Otherwise:
-    the native C++ engine when a compiler produced it, else the Pallas
-    stats kernel on TPU (only per-pair scalars leave the device), else the
-    host traceback mirror."""
+    the Pallas banded stats kernel whenever a TPU is attached (the chip is
+    the production engine; only per-pair scalars leave the device), else
+    the native C++ engine, else the host traceback mirror.  Dispatch sites
+    still route tiny batches to the native engine when present — a device
+    launch costs a host link round trip (see ``_PALLAS_MIN_BATCH``)."""
     env = os.environ.get("NGSID_STATS_BACKEND", "").strip().lower()
     if env:
         return env
+    if _device_is_tpu():
+        return "pallas"
     from .. import native
     if native.available():
         return "native"
-    if _device_is_tpu():
-        return "pallas"
     return "host"
+
+
+#: Below this many pairs a pallas launch is dominated by the host link
+#: round trip; fall back to the native engine when it exists.
+_PALLAS_MIN_BATCH = 32
+
+
+def _effective_backend(backend: Optional[str], n_pairs: int) -> str:
+    backend = backend or stats_backend_default()
+    if backend == "pallas" and n_pairs < _PALLAS_MIN_BATCH:
+        from .. import native
+        if native.available():
+            return "native"
+    return backend
 
 
 def block_stats_batch(
@@ -500,18 +516,19 @@ def block_stats_batch(
 ) -> List[Tuple[float, float]]:
     """Per-pair (aligned_ratio_s1, aligned_ratio_s2) of the reference's
     rolling-k-window fallback statistic (cluster.py:144-168), via the
-    fastest available backend.  The Pallas backend runs the full (unbanded)
-    DP — exact; `band` only narrows the native engine."""
+    fastest available backend.  band narrows both the native engine and the
+    Pallas kernel (identical in-band semantics whenever the optimal path
+    stays inside; see align_stats_pallas.py)."""
     if not pairs:
         return []
-    backend = backend or stats_backend_default()
+    backend = _effective_backend(backend, len(pairs))
     if backend == "native":
         from .. import native
         return native.block_stats_native(pairs, gap_opens, ks, match_ids,
                                          band=band)
     if backend == "pallas":
         from .align_stats_pallas import block_stats_pallas
-        return block_stats_pallas(pairs, gap_opens, ks, match_ids)
+        return block_stats_pallas(pairs, gap_opens, ks, match_ids, band=band)
     moves = sg_align_batch(pairs, gap_opens, band=band)
     out = []
     for t, (a, b) in enumerate(pairs):
@@ -529,13 +546,13 @@ def identity_batch(
     available backend."""
     if not pairs:
         return []
-    backend = backend or stats_backend_default()
+    backend = _effective_backend(backend, len(pairs))
     if backend == "native":
         from .. import native
         return native.identity_native(pairs, gap_opens, band=band)
     if backend == "pallas":
         from .align_stats_pallas import identity_pallas
-        return identity_pallas(pairs, gap_opens)
+        return identity_pallas(pairs, gap_opens, band=band)
     moves = sg_align_batch(pairs, gap_opens, band=band)
     return [identity_from_moves(moves[t], a, b)
             for t, (a, b) in enumerate(pairs)]

@@ -1,4 +1,4 @@
-"""Stats-only Pallas TPU kernel: semi-global Gotoh DP with path statistics.
+"""Stats-only Pallas TPU kernel: banded semi-global Gotoh DP with path stats.
 
 The consumers of the alignment kernel never need the alignment itself — only
 two derived statistics of the optimal path (SURVEY.md N1):
@@ -10,35 +10,53 @@ two derived statistics of the optimal path (SURVEY.md N1):
   * RC/dup detection: column identity = matches / alignment columns
     (reference consensus.py:129-145).
 
-The move-matrix variant (ops/align_pallas.py) must ship an O(n*m) tensor to
-the host for traceback.  This kernel removes that transfer entirely: because
-every cell's move choice is a deterministic function of the cell (the same
-tie-break the traceback uses — diag > up > left, gap-open on >=), the
-statistics of the optimal path can be propagated FORWARD through the H/E/F
-layers next to the scores.  Per layer and cell we carry six int32 fields:
+Because every cell's move choice is a deterministic function of the cell
+(the same tie-break the traceback uses — diag > up > left, gap-open on >=),
+the statistics of the optimal path are propagated FORWARD next to the
+scores.  Per layer and cell we carry six int32 fields:
 
     score | hist (last-k match bits) | wsum (matches in current window)
     wcount (windows with wsum >= match_id so far) | mcount (total matches)
     colcount (alignment columns so far, incl. leading terminal gaps)
 
 Each DP transition consumes exactly one alignment column (match bit for
-diagonal moves, 0 for gap columns), so the update is a shift-register step:
-the bit leaving the window decrements wsum, the entering bit increments it.
+diagonal moves, 0 for gap columns), so the update is a shift-register step.
 Boundary cells restart a path with colcount = i + j leading terminal-gap
 columns.  Trailing terminal gaps are applied on the host from the returned
-(hist, wsum, ...) scalars — a closed-form popcount fold, no device data
-beyond one 128-lane row per pair.
+scalars — only one 128-lane row per pair leaves the device.
 
-Semantics are bit-identical to match_vector + block_aligned_stats +
-identity_from_moves over the traceback of ops/align.py (parity-tested in
-tests/test_align_stats.py).  Requires k <= 30 (history bits in int32); the
-pipeline's k is 13/15 (presets) and the p-table tops out at 30.
+Design (round 3, replaces the full-sweep kernel):
+
+* **Anti-diagonal wavefront over a rolling banded window.**  Lane ``l`` of
+  diagonal ``dd`` holds cell ``i = base[dd] + l`` (j = dd - i), where
+  ``base`` is a host-precomputed, per-diagonal window origin covering every
+  pair's band (the native engine's diagonal-scaled window, sgdp.cpp
+  dp_single_fused_i16: row i covers j in ci +- band, ci = i*m/n — expressed
+  here multiplicatively per lane: (j-band)*n <= i*m <= (j+band+1)*n - 1).
+  Kernel time scales with band*(n+m), not n*m.  With band=0 the window is
+  the full matrix and the sweep is exact full DP.
+* **Per-lane endpoint trackers.**  Last-row / last-column cells update a
+  per-lane running-max tracker (masked selects only); ONE cross-lane
+  reduction happens on the final grid step.  The previous kernel reduced
+  across lanes on every diagonal, which dominated its runtime.
+* Out-of-band cells are NEG (unreachable).  The native banded engine
+  instead lets its overrun lanes read stale double-buffer values at the
+  band's top edge, so the two backends can differ when the optimal path
+  leaves the band — both are then approximations of the (reference-exact)
+  full DP, which band=0 reproduces.  Parity holds whenever the optimal
+  path stays inside the band (the production contract for amplicon pairs;
+  see tests/test_align_stats.py banded parity cases).
+
+Semantics with band=0 are bit-identical to match_vector +
+block_aligned_stats + identity_from_moves over the traceback of
+ops/align.py.  Requires k <= 30 (history bits in int32); the pipeline's k
+is 13/15 (presets) and the p-table tops out at 30.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -52,7 +70,8 @@ from .align import NEG_INF
 SUBLANES = 8
 DIAGS_PER_STEP = 8
 BEST_W = 128
-N_FIELDS = 6  # score, hist, wsum, wcount, mcount, colcount
+N_FIELDS = 6   # score, hist, wsum, wcount, mcount, colcount
+N_TRK = 8      # the six fields + endpoint coordinate + diagonal (tie-break)
 
 MAX_K = 30  # history bits must fit int32
 
@@ -73,24 +92,30 @@ def _select(pred, a, b):
     return tuple(jnp.where(pred, x, y) for x, y in zip(a, b))
 
 
-def _roll_up(stats, lanes, neg):
-    """Shift every field to lane i from lane i-1 (lane 0 becomes invalid)."""
+def _shift_lanes(stats, shift, lanes, W, neg):
+    """Frame-aligned predecessor fetch: lane l <- lane (l - shift) of the
+    previous-diagonal state (shift = 1 - delta for "up"-style predecessors,
+    -delta for same-cell-column ones).  Lanes whose source falls outside
+    [0, W) become unreachable (score NEG, stats 0)."""
+    src = lanes - shift
+    bad = (src < 0) | (src >= W)
     out = []
     for fi, x in enumerate(stats):
-        r = pltpu.roll(x, 1, 1)
+        r = pltpu.roll(x, shift, 1)
         fill = neg if fi == 0 else jnp.int32(0)
-        out.append(jnp.where(lanes == 0, fill, r))
+        out.append(jnp.where(bad, fill, r))
     return tuple(out)
 
 
-def _stats_kernel(meta_ref, s1_ref, s2r_ref,           # inputs (VMEM)
+def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
+                  meta_ref, s1_ref, s2r_ref,             # inputs (VMEM)
                   best_ref,                              # output (8, BEST_W)
-                  Hd1, Hd2, Ee, Ff,                      # scratch (N_FIELDS, 8, L)
+                  Hd1, Hd2, Ee, Ff, Trow, Tcol,          # scratch
                   *, match: int, mismatch: int, gap_ext: int,
-                  n: int, m: int, L: int):
+                  n: int, m: int, W: int, band: int, n_steps: int):
     d = pl.program_id(1)
     NEG = jnp.int32(NEG_INF)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, L), 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, W), 1)
     len1 = meta_ref[:, 0][:, None]
     len2 = meta_ref[:, 1][:, None]
     gopen = meta_ref[:, 2][:, None]
@@ -103,54 +128,84 @@ def _stats_kernel(meta_ref, s1_ref, s2r_ref,           # inputs (VMEM)
     def read(ref, init_score):
         fields = []
         for fi in range(N_FIELDS):
-            init = init_score if fi == 0 else jnp.zeros((SUBLANES, L), jnp.int32)
+            init = init_score if fi == 0 else jnp.zeros((SUBLANES, W), jnp.int32)
             fields.append(jnp.where(is_first, init, ref[fi]))
         return tuple(fields)
 
-    neg_full = jnp.full((SUBLANES, L), NEG, jnp.int32)
-    hd1 = read(Hd1, jnp.where(lanes == 0, 0, NEG))   # diagonal 0: only (0,0)
+    neg_full = jnp.full((SUBLANES, W), NEG, jnp.int32)
+    # diagonal 0 (base[0] == 0): only cell (0, 0), score 0
+    hd1 = read(Hd1, jnp.where(lanes == 0, 0, NEG))
     hd2 = read(Hd2, neg_full)
     ee = read(Ee, neg_full)
     ff = read(Ff, neg_full)
 
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, BEST_W), 1)
-    best_init = jnp.where((cidx == 0) | (cidx == 8), NEG,
-                          jnp.where((cidx == 1) | (cidx == 9), -1, 0))
-    cur = jnp.where(is_first, best_init, best_ref[:, :])
+    def read_trk(ref):
+        fields = []
+        for fi in range(N_TRK):
+            if fi == 0:
+                init = neg_full
+            elif fi == 1:
+                init = jnp.full((SUBLANES, W), -1, jnp.int32)
+            else:
+                init = jnp.zeros((SUBLANES, W), jnp.int32)
+            fields.append(jnp.where(is_first, init, ref[fi]))
+        return list(fields)
 
-    s1_shift = pltpu.roll(s1_ref[:, :], 1, 1)         # lane i -> s1[i-1]
-    W = s2r_ref.shape[1]
+    trow = read_trk(Trow)
+    tcol = read_trk(Tcol)
+
+    L1 = s1_ref.shape[1]
+    L2 = s2r_ref.shape[1]
 
     for ks in range(DIAGS_PER_STEP):
         dd = d * DIAGS_PER_STEP + ks + 1
-        j_of = dd - lanes
-        valid = (lanes <= len1) & (j_of >= 0) & (j_of <= len2)
+        base = base_ref[0, dd]
+        d1 = base - base_ref[0, dd - 1]
+        d2 = base - base_ref[0, jnp.maximum(dd - 2, 0)]
+        iv = base + lanes
+        jv = dd - iv
+        interior = (iv >= 1) & (iv <= len1) & (jv >= 1) & (jv <= len2)
+        if band > 0:
+            in_band = (((jv - band) * len1) <= (iv * len2)) & \
+                      ((iv * len2) <= ((jv + band + 1) * len1 - 1))
+            interior = interior & in_band
+        is_boundary = ((iv == 0) & (jv >= 0) & (jv <= len2)) | \
+                      ((jv == 0) & (iv <= len1))
+        valid = interior | is_boundary
 
-        # ---- E layer: gap in s1 (LEFT column), same-lane predecessors
-        e_open = hd1[0] - gopen
-        e_ext = ee[0] - ext
-        e_src = _select(e_open >= e_ext, hd1, ee)
+        # ---- E layer: gap in s1 (LEFT column), predecessor (i, j-1) @ d-1
+        hd1_l = _shift_lanes(hd1, -d1, lanes, W, NEG)
+        ee_l = _shift_lanes(ee, -d1, lanes, W, NEG)
+        e_open = hd1_l[0] - gopen
+        e_ext = ee_l[0] - ext
+        e_src = _select(e_open >= e_ext, hd1_l, ee_l)
         enew = _push_column(
             (jnp.maximum(e_open, e_ext),) + e_src[1:], jnp.int32(0),
             kk, mid, mask_hist)
 
-        # ---- F layer: gap in s2 (UP column), lane i-1 predecessors
-        hd1_up = _roll_up(hd1, lanes, NEG)
-        ff_up = _roll_up(ff, lanes, NEG)
-        f_open = hd1_up[0] - gopen
-        f_ext = ff_up[0] - ext
-        f_src = _select(f_open >= f_ext, hd1_up, ff_up)
+        # ---- F layer: gap in s2 (UP column), predecessor (i-1, j) @ d-1
+        hd1_u = _shift_lanes(hd1, 1 - d1, lanes, W, NEG)
+        ff_u = _shift_lanes(ff, 1 - d1, lanes, W, NEG)
+        f_open = hd1_u[0] - gopen
+        f_ext = ff_u[0] - ext
+        f_src = _select(f_open >= f_ext, hd1_u, ff_u)
         fnew = _push_column(
             (jnp.maximum(f_open, f_ext),) + f_src[1:], jnp.int32(0),
             kk, mid, mask_hist)
 
-        # ---- diagonal candidate: H[dd-2] at lane i-1 + substitution column
-        s2c = pltpu.roll(s2r_ref[:, :], W - (n + m - dd), 1)[:, :L]
-        ismatch = (s1_shift == s2c).astype(jnp.int32)
+        # ---- diagonal candidate: (i-1, j-1) @ d-2 + substitution column
+        # s1c[l] = s1[i-1] = s1_ref[base + l - 1]; s2c[l] = s2[j-1] via the
+        # right-aligned reversed staging (s2[j-1] = s2r[n+m-j]).  Sequences
+        # arrive as int32 rows (converted on device from the uint8 transfer
+        # buffers — the tunnel link, not the VPU, is the scarce resource).
+        s1c = pltpu.roll(s1_ref[:, :], 1 - base, 1)[:, :W]
+        s2c = pltpu.roll(s2r_ref[:, :], (dd - base) - (n + m), 1)[:, :W]
+        ismatch = ((s1c == s2c) & (iv >= 1) & (iv <= len1)
+                   & (jv >= 1) & (jv <= len2)).astype(jnp.int32)
         sub = jnp.where(ismatch == 1, jnp.int32(match), jnp.int32(mismatch))
-        hd2_up = _roll_up(hd2, lanes, NEG)
+        hd2_u = _shift_lanes(hd2, 1 - d2, lanes, W, NEG)
         dnew = _push_column(
-            (hd2_up[0] + sub,) + hd2_up[1:], ismatch, kk, mid, mask_hist)
+            (hd2_u[0] + sub,) + hd2_u[1:], ismatch, kk, mid, mask_hist)
 
         # ---- H choice (same tie-break as the traceback: diag > up > left)
         h_no_e = jnp.maximum(dnew[0], fnew[0])
@@ -159,37 +214,24 @@ def _stats_kernel(meta_ref, s1_ref, s2r_ref,           # inputs (VMEM)
         hnew = (jnp.maximum(h_no_e, enew[0]),) + hnew[1:]
 
         # boundary cells restart a path: i + j leading terminal-gap columns
-        is_boundary = (lanes == 0) | (j_of == 0)
-        cc0 = lanes + j_of
+        cc0 = iv + jv
         wc0 = jnp.where(mid <= 0, jnp.maximum(cc0 - kk + 1, 0), 0)
-        zero = jnp.zeros((SUBLANES, L), jnp.int32)
+        zero = jnp.zeros((SUBLANES, W), jnp.int32)
         boundary = (zero, zero, zero, wc0, zero, cc0)
         hnew = _select(is_boundary, boundary, hnew)
         hnew = (jnp.where(valid, hnew[0], NEG),) + hnew[1:]
 
-        # ---- endpoint running best (at most one last-row / last-col lane
-        # per diagonal, so a masked max selects that lane's fields; `>=`
-        # keeps the corner-most = later diagonal on score ties)
-        def lane_pick(mask_row, x, fill):
-            return jnp.max(jnp.where(mask_row, x, fill), axis=1)
-
-        in_last_row = valid & (lanes == len1)
-        in_last_col = valid & (j_of == len2)
-        row_val = lane_pick(in_last_row, hnew[0], NEG)
-        row_j = lane_pick(in_last_row, j_of, -1)
-        col_val = lane_pick(in_last_col, hnew[0], NEG)
-        col_i = lane_pick(in_last_col, lanes, -1)
-        take_row = ((row_j >= 0) & (row_val >= cur[:, 0]))[:, None]
-        take_col = ((col_i >= 0) & (col_val >= cur[:, 8]))[:, None]
-
-        row_payload = [row_val, row_j] + [
-            lane_pick(in_last_row, hnew[fi], -1) for fi in range(1, N_FIELDS)]
-        col_payload = [col_val, col_i] + [
-            lane_pick(in_last_col, hnew[fi], -1) for fi in range(1, N_FIELDS)]
-        for c, v in enumerate(row_payload):
-            cur = jnp.where((cidx == c) & take_row, v[:, None], cur)
-        for c, v in enumerate(col_payload):
-            cur = jnp.where((cidx == 8 + c) & take_col, v[:, None], cur)
+        # ---- endpoint tracking: per-lane running max (>= keeps the later
+        # diagonal = corner-most endpoint on score ties, matching
+        # ops/align._best_end and the native banded endpoint scans)
+        ddv = jnp.full((SUBLANES, W), dd, jnp.int32)
+        for trk, mask_row, coord in (
+                (trow, valid & (iv == len1), jv),
+                (tcol, valid & (jv == len2), iv)):
+            take = mask_row & (hnew[0] >= trk[0])
+            payload = (hnew[0], coord) + hnew[1:] + (ddv,)
+            for fi in range(N_TRK):
+                trk[fi] = jnp.where(take, payload[fi], trk[fi])
 
         hd2 = hd1
         hd1 = hnew
@@ -201,29 +243,81 @@ def _stats_kernel(meta_ref, s1_ref, s2r_ref,           # inputs (VMEM)
         Hd2[fi] = hd2[fi]
         Ee[fi] = ee[fi]
         Ff[fi] = ff[fi]
-    best_ref[:, :] = cur
+    for fi in range(N_TRK):
+        Trow[fi] = trow[fi]
+        Tcol[fi] = tcol[fi]
+
+    # ---- final cross-lane pick, once per tile, on the last grid step
+    @pl.when(d == n_steps - 1)
+    def _finalize():
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, BEST_W), 1)
+        out = jnp.zeros((SUBLANES, BEST_W), jnp.int32)
+        for off, trk in ((0, trow), (8, tcol)):
+            smax = jnp.max(trk[0], axis=1)[:, None]
+            at_max = trk[0] == smax
+            dmax = jnp.max(jnp.where(at_max, trk[7], -1), axis=1)[:, None]
+            pick = at_max & (trk[7] == dmax)
+            for c, fi in enumerate((0, 1, 2, 3, 4, 5, 6, 7)):
+                v = jnp.max(jnp.where(pick, trk[fi],
+                                      NEG if fi == 0 else -1), axis=1)
+                out = jnp.where(cidx == off + c, v[:, None], out)
+        best_ref[:, :] = out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "m", "L", "match", "mismatch", "gap_ext", "interpret"))
-def _pallas_stats(meta, s1b, s2r,
-                  n: int, m: int, L: int,
+    static_argnames=("PB", "Bp", "L1", "s2rw", "dpad",
+                     "n", "m", "W", "band", "match", "mismatch", "gap_ext",
+                     "interpret"))
+def _pallas_stats(blob,
+                  PB: int, Bp: int, L1: int, s2rw: int, dpad: int,
+                  n: int, m: int, W: int, band: int,
                   match: int, mismatch: int, gap_ext: int,
                   interpret: bool = False):
-    B = s1b.shape[0]
+    # One fused uint8 transfer per launch: each host->device array costs a
+    # full tunnel round trip, so the (deduplicated) sequence pool, pair
+    # table and window schedule ride in a single blob.  The padded DP
+    # staging layouts never cross the link — they are gathered from the
+    # pool on device.
+    o1 = PB + Bp * 32
+    o2 = o1 + dpad * 4
+    pool = blob[:PB]
+    pm = jax.lax.bitcast_convert_type(
+        blob[PB:o1].reshape(Bp, 8, 4), jnp.int32)          # (Bp, 8)
+    base = jax.lax.bitcast_convert_type(
+        blob[o1:o2].reshape(1, dpad, 4), jnp.int32)
+    len1 = pm[:, 0]
+    len2 = pm[:, 1]
+    off1 = pm[:, 5]
+    off2 = pm[:, 6]
+    l1i = jnp.arange(L1, dtype=jnp.int32)[None, :]
+    s1b = jnp.where(
+        l1i < len1[:, None],
+        jnp.take(pool, jnp.clip(off1[:, None] + l1i, 0, PB - 1),
+                 mode="clip").astype(jnp.int32), 0)
+    xi = jnp.arange(s2rw, dtype=jnp.int32)[None, :]
+    srcj = (n + m - 1) - xi                      # forward index into s2
+    ok2 = (srcj >= 0) & (srcj < len2[:, None])
+    s2r = jnp.where(
+        ok2,
+        jnp.take(pool, jnp.clip(off2[:, None] + srcj, 0, PB - 1),
+                 mode="clip").astype(jnp.int32), -1)
+    meta = jnp.pad(pm, ((0, 0), (0, BEST_W - 8)))
+    B = Bp
     n_tiles = B // SUBLANES
-    D_chunks = -(-(n + m) // DIAGS_PER_STEP)
+    n_steps = -(-(n + m) // DIAGS_PER_STEP)
     kernel = functools.partial(
         _stats_kernel, match=match, mismatch=mismatch, gap_ext=gap_ext,
-        n=n, m=m, L=L)
+        n=n, m=m, W=W, band=band, n_steps=n_steps)
     (best,) = pl.pallas_call(
         kernel,
-        grid=(n_tiles, D_chunks),
+        grid=(n_tiles, n_steps),
         in_specs=[
+            pl.BlockSpec((1, base.shape[1]), lambda b, d: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((SUBLANES, BEST_W), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, L), lambda b, d: (b, 0),
+            pl.BlockSpec((SUBLANES, s1b.shape[1]), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBLANES, s2r.shape[1]), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -233,14 +327,16 @@ def _pallas_stats(meta, s1b, s2r,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_FIELDS, SUBLANES, L), jnp.int32),
-            pltpu.VMEM((N_FIELDS, SUBLANES, L), jnp.int32),
-            pltpu.VMEM((N_FIELDS, SUBLANES, L), jnp.int32),
-            pltpu.VMEM((N_FIELDS, SUBLANES, L), jnp.int32),
+            pltpu.VMEM((N_FIELDS, SUBLANES, W), jnp.int32),
+            pltpu.VMEM((N_FIELDS, SUBLANES, W), jnp.int32),
+            pltpu.VMEM((N_FIELDS, SUBLANES, W), jnp.int32),
+            pltpu.VMEM((N_FIELDS, SUBLANES, W), jnp.int32),
+            pltpu.VMEM((N_TRK, SUBLANES, W), jnp.int32),
+            pltpu.VMEM((N_TRK, SUBLANES, W), jnp.int32),
         ],
         out_shape=[jax.ShapeDtypeStruct((B, BEST_W), jnp.int32)],
         interpret=interpret,
-    )(meta, s1b, s2r)
+    )(base, meta, s1b, s2r)
     return best
 
 
@@ -253,75 +349,249 @@ def _popcount(x: np.ndarray) -> np.ndarray:
     return ((x * np.uint32(0x01010101)) >> 24).astype(np.int64)
 
 
+def _window_schedule(len1: np.ndarray, len2: np.ndarray,
+                     n: int, m: int, band: int) -> Tuple[np.ndarray, int]:
+    """Per-diagonal window origin ``base`` and width ``W`` covering every
+    pair's banded cell set (plus the boundary rows/columns each pair's band
+    touches).  base is non-decreasing with slope <= 1, so in-kernel frame
+    shifts are lane rolls by {0, 1} ({0..2} across two diagonals)."""
+    D = n + m
+    dpad = -(-(D + 1) // 8) * 8
+    if band <= 0:
+        W = -(-(n + 1) // 128) * 128
+        return np.zeros((1, dpad), np.int32), W
+    dd = np.arange(D + 1, dtype=np.int64)[:, None]
+    n_b = len1.astype(np.int64)[None, :]
+    m_b = len2.astype(np.int64)[None, :]
+    tot = n_b + m_b
+    # interior band rows on diagonal dd (from the multiplicative band test)
+    lo_int = -(-(np.maximum(dd - band, 0) * n_b) // tot)    # ceil
+    hi_int = ((dd + band + 1) * n_b - 1) // tot
+    lo_int = np.maximum(lo_int, np.maximum(1, dd - m_b))
+    hi_int = np.minimum(hi_int, np.minimum(dd - 1, n_b))
+    # boundary i=0 (cell (0, dd)): consumed by in-band cells at i=1, which
+    # exist only while dd <= band + len2/len1 (+ slack)
+    lo = np.where(dd <= np.minimum(m_b, band + m_b // n_b + 2), 0, lo_int)
+    # boundary j=0 (cell (dd, 0)): consumed by in-band cells at j=1, which
+    # exist only while i <= (band+1)*len1/len2 (+ slack)
+    hi = np.where(dd <= np.minimum(n_b, (band + 1) * n_b // m_b + 2),
+                  np.minimum(dd, n_b), hi_int)
+    # diagonals past a pair's matrix contribute nothing to its hull
+    dead = (dd > tot) | (hi < lo)
+    big = np.int64(1 << 40)
+    need_lo = np.minimum.reduce(np.where(dead, big, lo), axis=1)
+    need_hi = np.maximum.reduce(np.where(dead, -1, hi), axis=1)
+    # diagonals where every pair is dead (e.g. past the shortest pair's
+    # n+m on a bucket-sized sweep) carry no cells: hold the last alive
+    # origin so the frame stays monotone
+    alive_d = need_lo != big
+    last = np.maximum.accumulate(
+        np.where(alive_d, np.arange(need_lo.size, dtype=np.int64), -1))
+    need_lo = np.where(
+        alive_d, need_lo,
+        np.where(last >= 0, need_lo[np.maximum(last, 0)], 0))
+    base = np.clip(need_lo, 0, n)
+    # slope <= 1: cap upward jumps (a short pair leaving the hull can make
+    # need_lo jump) by base[d] <- min_{e<=d}(need_lo[e] + (d - e)); lowering
+    # a later base only widens coverage, and since need_lo is nondecreasing
+    # the result stays nondecreasing (W is computed afterwards)
+    idx = np.arange(base.size, dtype=np.int64)
+    base = np.minimum.accumulate(base - idx) + idx
+    W_need = int(np.max(np.maximum(need_hi - base, 0)) + 1)
+    W = max(128, -(-W_need // 128) * 128)
+    W = min(W, -(-(n + 1) // 128) * 128)
+    if W >= n + 1:
+        return np.zeros((1, dpad), np.int32), W  # window = full matrix
+    out = np.zeros((1, dpad), np.int32)
+    out[0, : D + 1] = base.astype(np.int32)
+    return out, W
+
+
+def sg_stats_pool_pallas(
+    seqs: Sequence[np.ndarray],
+    rows1: Sequence[int],
+    rows2: Sequence[int],
+    gap_opens: Sequence[int],
+    ks: Sequence[int],
+    match_ids: Sequence[int],
+    match: int = 2, mismatch: int = -2, gap_ext: int = 1,
+    band: int = 0,
+    interpret: bool = False,
+) -> List[Tuple[float, float, float]]:
+    """Pool-indexed form of :func:`sg_stats_batch_pallas`: pair ``p`` aligns
+    ``seqs[rows1[p]]`` vs ``seqs[rows2[p]]``.  Each distinct row crosses the
+    host->device link once per chunk regardless of how many pairs reference
+    it (the clustering engine aligns many reads against few representatives,
+    reference cluster.py:172-205)."""
+    n_pairs = len(rows1)
+    if n_pairs == 0:
+        return []
+    assert all(1 <= k <= MAX_K for k in ks), f"stats kernel requires k <= {MAX_K}"
+    chunks = _plan_chunks(seqs, rows1, rows2)
+    futures = []
+    for sl in chunks:
+        futures.append(_launch_chunk(
+            seqs, [rows1[i] for i in sl], [rows2[i] for i in sl],
+            [gap_opens[i] for i in sl], [ks[i] for i in sl],
+            [match_ids[i] for i in sl],
+            match, mismatch, gap_ext, band, interpret))
+    # one batched gather: async-copy every device result before blocking
+    host = jax.device_get([f[0] for f in futures])
+    out: List[Optional[Tuple[float, float, float]]] = [None] * n_pairs
+    for sl, fut, best in zip(chunks, futures, host):
+        res = _gather_chunk(best, *fut[1:])
+        for i, r in zip(sl, res):
+            out[i] = r
+    return out  # type: ignore[return-value]
+
+
 def sg_stats_batch_pallas(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     gap_opens: Sequence[int],
     ks: Sequence[int],
     match_ids: Sequence[int],
     match: int = 2, mismatch: int = -2, gap_ext: int = 1,
+    band: int = 0,
     interpret: bool = False,
 ) -> List[Tuple[float, float, float]]:
     """Per pair ``(aligned_ratio_s1, aligned_ratio_s2, identity)`` where the
     ratios follow reference cluster.py:144-168 (k-window with >= match_id
     matches) and identity follows consensus.py:129-145 — both measured on
-    exactly the alignment ops/align.py would trace back.
+    exactly the alignment ops/align.py would trace back (band=0), or its
+    banded restriction (band>0, exact whenever the optimal path stays in
+    the native diagonal-scaled band).
 
-    Only one 128-int row per pair leaves the device.
+    Only one 128-int row per pair leaves the device; chunk launches are
+    dispatched asynchronously and gathered at the end.
     """
     if not pairs:
         return []
-    assert all(1 <= k <= MAX_K for k in ks), f"stats kernel requires k <= {MAX_K}"
-    # Fixed batch tile: chunking bounds the padded batch sizes to the
-    # power-of-two ladder {8..256}, so a production run compiles each
-    # (n, m) length bucket at most ~6 times total and every later batch
-    # reuses a cached program regardless of its size.
-    MAX_B = 256
-    if len(pairs) > MAX_B:
-        out: List[Tuple[float, float, float]] = []
-        for s in range(0, len(pairs), MAX_B):
-            out.extend(sg_stats_batch_pallas(
-                pairs[s:s + MAX_B], gap_opens[s:s + MAX_B], ks[s:s + MAX_B],
-                match_ids[s:s + MAX_B], match=match, mismatch=mismatch,
-                gap_ext=gap_ext, interpret=interpret))
-        return out
-    # Coarse shape buckets: Mosaic compiles are expensive (minutes through
-    # a remote tunnel), so bound the number of distinct compiled programs
-    # the way sg_align_batch does for the move-matrix kernel.
+    # collapse repeated array objects (RC/dup detection aligns every center
+    # against every other) into shared pool rows
+    seqs: List[np.ndarray] = []
+    row_of: dict = {}
+    rows1, rows2 = [], []
+    for a, b in pairs:
+        for arr, rows in ((a, rows1), (b, rows2)):
+            key = id(arr)
+            r = row_of.get(key)
+            if r is None:
+                r = len(seqs)
+                row_of[key] = r
+                seqs.append(arr)
+            rows.append(r)
+    return sg_stats_pool_pallas(
+        seqs, rows1, rows2, gap_opens, ks, match_ids,
+        match=match, mismatch=mismatch, gap_ext=gap_ext, band=band,
+        interpret=interpret)
+
+
+#: Pairs per device launch.  Power-of-two ladder {8..MAX_B} bounds compiled
+#: batch shapes; large requests pipeline multiple async launches.
+MAX_B = 512
+
+
+def _plan_chunks(seqs, rows1, rows2) -> List[List[int]]:
+    """Split request indices into device chunks: bounded size and coarse
+    length buckets (compile reuse; banded windows also stay near 2*band
+    wide when pair lengths are comparable)."""
     from .align import _bucket_width
 
-    n = _bucket_width(max(a.size for a, _ in pairs))
-    m = _bucket_width(max(b.size for _, b in pairs))
-    L = -(-(n + 1) // 128) * 128
-    B = len(pairs)
-    Bp = -(-B // SUBLANES) * SUBLANES
-    Bp = max(SUBLANES, 1 << (Bp - 1).bit_length())  # power-of-two batch pad
-    s2r_w = -(-(n + m + L) // 128) * 128
-    s1b = np.zeros((Bp, L), dtype=np.int32)
-    s2r = np.full((Bp, s2r_w), -1, dtype=np.int32)
-    meta = np.ones((Bp, BEST_W), dtype=np.int32)
-    meta[:, 2] = 5
-    meta[:, 3] = 13
-    meta[:, 4] = 1
-    for i, (a, b) in enumerate(pairs):
-        s1b[i, : a.size] = a
-        s2r[i, n + m - b.size : n + m] = b[::-1]
-        meta[i, 0] = a.size
-        meta[i, 1] = b.size
-        meta[i, 2] = gap_opens[i]
-        meta[i, 3] = ks[i]
-        meta[i, 4] = match_ids[i]
-    best = np.asarray(_pallas_stats(
-        jnp.asarray(meta), jnp.asarray(s1b), jnp.asarray(s2r),
-        n=n, m=m, L=L, match=match, mismatch=mismatch, gap_ext=gap_ext,
-        interpret=interpret))[:B]
+    order = sorted(
+        range(len(rows1)),
+        key=lambda i: (_bucket_width(seqs[rows1[i]].size),
+                       _bucket_width(seqs[rows2[i]].size),
+                       seqs[rows1[i]].size - seqs[rows2[i]].size))
+    chunks: List[List[int]] = []
+    cur: List[int] = []
+    cur_key = None
+    for i in order:
+        key = (_bucket_width(seqs[rows1[i]].size),
+               _bucket_width(seqs[rows2[i]].size))
+        if cur and (key != cur_key or len(cur) >= MAX_B):
+            chunks.append(cur)
+            cur = []
+        cur_key = key
+        cur.append(i)
+    if cur:
+        chunks.append(cur)
+    return chunks
 
-    len1 = np.array([a.size for a, _ in pairs], dtype=np.int64)
-    len2 = np.array([b.size for _, b in pairs], dtype=np.int64)
-    karr = np.asarray(ks, dtype=np.int64)
-    midarr = np.asarray(match_ids, dtype=np.int64)
+
+def _launch_chunk(seqs, r1, r2, gap_opens, ks, match_ids,
+                  match, mismatch, gap_ext, band, interpret):
+    from .align import _bucket_width
+
+    B = len(r1)
+    len1 = np.fromiter((seqs[r].size for r in r1), np.int64, count=B)
+    len2 = np.fromiter((seqs[r].size for r in r2), np.int64, count=B)
+    n = _bucket_width(int(len1.max()))
+    m = _bucket_width(int(len2.max()))
+    L1 = -(-(n + 1) // 128) * 128
+    s2rw = -(-(n + m + 1) // 128) * 128
+    # power-of-two batch pad; the high floor collapses remainder-chunk
+    # shapes into one compiled program (Mosaic compiles cost minutes over
+    # the tunnel; a few padded tile rows cost ~1 ms each)
+    Bp = -(-B // SUBLANES) * SUBLANES
+    Bp = max(SUBLANES if interpret else 128,
+             1 << (Bp - 1).bit_length())
+    # deduplicated sequence pool: one copy per distinct row in this chunk
+    offs: dict = {}
+    parts: List[np.ndarray] = []
+    off = 0
+    for r in list(r1) + list(r2):
+        if r not in offs:
+            offs[r] = off
+            parts.append(seqs[r])
+            off += seqs[r].size
+    pool = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    PB = 4096 if interpret else (1 << 18)
+    while PB < pool.size:
+        PB *= 2                      # pool-size ladder bounds compile count
+    pool = np.pad(pool, (0, PB - pool.size))
+    pm = np.ones((Bp, 8), np.int32)
+    pm[:, 2] = 5
+    pm[:, 3] = 13
+    pm[:, 5:] = 0
+    pm[:B, 0] = len1
+    pm[:B, 1] = len2
+    pm[:B, 2] = np.asarray(gap_opens, np.int32)
+    pm[:B, 3] = np.asarray(ks, np.int32)
+    pm[:B, 4] = np.asarray(match_ids, np.int32)
+    pm[:B, 5] = np.fromiter((offs[r] for r in r1), np.int64, count=B)
+    pm[:B, 6] = np.fromiter((offs[r] for r in r2), np.int64, count=B)
+    base, W = _window_schedule(len1, len2, n, m, band)
+    blob = np.concatenate([
+        pool, pm.view(np.uint8).reshape(-1), base.view(np.uint8).reshape(-1)])
+    best = _pallas_stats(
+        jnp.asarray(blob),
+        PB=PB, Bp=Bp, L1=L1, s2rw=s2rw, dpad=base.shape[1],
+        n=n, m=m, W=W, band=band,
+        match=match, mismatch=mismatch, gap_ext=gap_ext,
+        interpret=interpret)
+    return best, len1, len2, np.asarray(ks, np.int64), \
+        np.asarray(match_ids, np.int64), band
+
+
+def _gather_chunk(best_dev, len1, len2, karr, midarr, band):
+    B = len1.size
+    best = np.asarray(best_dev)[:B]
 
     use_row = best[:, 0] >= best[:, 8]
     side = np.where(use_row[:, None], best[:, 0:8], best[:, 8:16])
+    if band > 0:
+        # native banded endpoint scans fall back to the empty alignment
+        # (H[n][0] = 0 / col_best init 0) when every banded endpoint is
+        # negative; synthesize the same endpoint here
+        neg = side[:, 0] < 0
+        if neg.any():
+            use_row = np.where(neg, True, use_row)
+            empty = np.zeros_like(side)
+            empty[:, 6] = len1                        # cc = i + j at (n, 0)
+            empty[:, 4] = np.where(midarr <= 0,
+                                   np.maximum(len1 - karr + 1, 0), 0)
+            empty[:, 1] = 0
+            side = np.where(neg[:, None], empty, side)
     end_i = np.where(use_row, len1, side[:, 1])
     end_j = np.where(use_row, side[:, 1], len2)
     hist = side[:, 2].astype(np.int64)
@@ -351,19 +621,21 @@ def sg_stats_batch_pallas(
     return [(float(r1[i]), float(r2[i]), float(ident[i])) for i in range(B)]
 
 
-def block_stats_pallas(pairs, gap_opens, ks, match_ids, interpret=False):
+def block_stats_pallas(pairs, gap_opens, ks, match_ids, band=0,
+                       interpret=False):
     """(aligned_ratio, target_ratio) per pair — Pallas counterpart of
     native.block_stats_native."""
-    out = sg_stats_batch_pallas(pairs, gap_opens, ks, match_ids,
+    out = sg_stats_batch_pallas(pairs, gap_opens, ks, match_ids, band=band,
                                 interpret=interpret)
     return [(r1, r2) for r1, r2, _ in out]
 
 
 def identity_pallas(pairs, gap_opens, match=2, mismatch=-2, gap_ext=1,
-                    interpret=False):
+                    band=0, interpret=False):
     """Column identity per pair — Pallas counterpart of
     native.identity_native (consensus.py:129-145 alignment parameters)."""
     out = sg_stats_batch_pallas(
         pairs, gap_opens, [1] * len(pairs), [1] * len(pairs),
-        match=match, mismatch=mismatch, gap_ext=gap_ext, interpret=interpret)
+        match=match, mismatch=mismatch, gap_ext=gap_ext, band=band,
+        interpret=interpret)
     return [ident for _, _, ident in out]

@@ -90,6 +90,85 @@ class JaxComm:
         multihost_utils.sync_global_devices(name)
 
 
+class DeviceWorld:
+    """P-rank world whose exchange IS an XLA all-gather over a P-device
+    mesh (one rank per device).  Ranks run as threads (each standing for a
+    host's driver); at every exchange they rendezvous, each payload lands
+    on its rank's device, and a single ``shard_map(lax.all_gather)``
+    computation over ``Mesh((P,), 'rank')`` moves the data — the same
+    collective JaxComm issues across hosts via process_allgather, executed
+    here across the local mesh (the 8-virtual-CPU-device mesh in tests and
+    the driver dryrun; ICI on a real slice).  Unlike ThreadWorld, no rank
+    ever reads another rank's buffer from shared memory: all data moves
+    through the XLA collective."""
+
+    def __init__(self, size: int) -> None:
+        import jax
+
+        devs = jax.devices()
+        if len(devs) < size:
+            raise ValueError(f"DeviceWorld({size}) needs {size} devices, "
+                             f"have {len(devs)}")
+        self.devices = devs[:size]
+        self.size = size
+        self._barrier = threading.Barrier(size)
+        self._in: List[Optional[np.ndarray]] = [None] * size
+        self._out: Optional[List[np.ndarray]] = None
+
+    def comm(self, rank: int) -> "DeviceComm":
+        return DeviceComm(self, rank)
+
+    def _exchange(self) -> None:
+        import jax
+        from functools import partial
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        shard_map = jax.shard_map
+
+        sizes = np.array([a.size for a in self._in], np.int64)
+        mx = max(1, int(sizes.max()))
+        mesh = Mesh(np.asarray(self.devices), ("rank",))
+        blocks = [
+            jax.device_put(np.pad(a, (0, mx - a.size))[None, :], d)
+            for a, d in zip(self._in, self.devices)
+        ]
+        garr = jax.make_array_from_single_device_arrays(
+            (self.size, mx),
+            NamedSharding(mesh, PartitionSpec("rank", None)), blocks)
+
+        @jax.jit
+        @partial(shard_map, mesh=mesh,
+                 in_specs=PartitionSpec("rank", None),
+                 out_specs=PartitionSpec(None, None),
+                 check_vma=False)  # all_gather output is replicated by
+        def _ag(x):                # construction; the static checker
+            return jax.lax.all_gather(x, "rank", axis=0, tiled=True)
+
+        data = np.asarray(_ag(garr))
+        self._out = [data[p, : int(sizes[p])].copy()
+                     for p in range(self.size)]
+
+
+class DeviceComm:
+    def __init__(self, world: DeviceWorld, rank: int) -> None:
+        self._world = world
+        self.rank = rank
+        self.size = world.size
+
+    def allgather_i64(self, arr: np.ndarray) -> List[np.ndarray]:
+        w = self._world
+        w._in[self.rank] = np.ascontiguousarray(arr, dtype=np.int64)
+        w._barrier.wait()
+        if self.rank == 0:
+            w._exchange()
+        w._barrier.wait()
+        out = [a.copy() for a in w._out]  # type: ignore[union-attr]
+        w._barrier.wait()                 # all read before the next round
+        return out
+
+    def barrier(self, name: str) -> None:
+        self._world._barrier.wait()
+
+
 class ThreadWorld:
     """In-process P-rank world for tests: one thread per rank, barrier-
     synchronised slot exchange.  Exercises the exact driver code path the

@@ -11,7 +11,7 @@ remains.
 The reference runs shards in spawn-Pool worker processes; here each shard is
 a device-batched engine pass (and, on a multi-host deployment, shards map to
 hosts with the merged representative set exchanged via collectives — see
-parallel/shard.py).  The schedule, skip logic, and outputs (per-iteration
+parallel/dist.py).  The schedule, skip logic, and outputs (per-iteration
 ``{it}/pre_clusters.csv`` + ``cluster_origins.csv`` dumps) are semantically
 identical.
 """

@@ -23,12 +23,15 @@ from ngspeciesid_tpu.eval import evaluate, read_clusters_tsv
 
 
 def read_classes_tsv(path):
+    # first-seen integer ids (deterministic across runs, collision-free),
+    # mirroring io/bam.py's class-id assignment
     out = {}
+    ids = {}
     with open(path) as f:
         for line in f:
             items = line.strip().split("\t")
             if len(items) >= 2:
-                out[items[0]] = hash(items[1])
+                out[items[0]] = ids.setdefault(items[1], len(ids))
     return out
 
 

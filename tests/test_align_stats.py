@@ -127,3 +127,78 @@ class TestStatsKernelParity:
         for i, (a, b) in enumerate(pairs):
             r1, r2, _ = oracle(a, b, 4, 13, 11)
             assert got[i] == pytest.approx((r1, r2), abs=0.0)
+
+
+class TestBandedParity:
+    """band > 0: the rolling-window kernel must equal the native banded
+    engine whenever the optimal path stays inside the band (the production
+    contract: same-template amplicon pairs, VERDICT r2 items 1/5).  Both
+    then also equal the full DP."""
+
+    def _pairs(self, rng, n_pairs=12, lo=300, hi=900, rate=0.12):
+        pairs, opens, ks, mids = [], [], [], []
+        for _ in range(n_pairs):
+            a = rand_seq(rng, int(rng.integers(lo, hi)))
+            b = mutate(rng, a, rate)
+            pairs.append((a, b))
+            opens.append(int(rng.choice([2, 3, 4, 5])))
+            ks.append(int(rng.choice([13, 15, 20])))
+            mids.append(int(rng.integers(5, 15)))
+        return pairs, opens, ks, mids
+
+    def test_banded_equals_full_and_native(self, rng):
+        from ngspeciesid_tpu import native
+
+        pairs, opens, ks, mids = self._pairs(rng)
+        got = sg_stats_batch_pallas(pairs, opens, ks, mids, band=150,
+                                    interpret=True)
+        full = [oracle(a, b, o, k, m)
+                for (a, b), o, k, m in zip(pairs, opens, ks, mids)]
+        for g, w in zip(got, full):
+            assert g == pytest.approx(w, abs=0)
+        if native.available():
+            nat = native.block_stats_native(pairs, opens, ks, mids, band=150)
+            for g, w in zip(got, nat):
+                assert (g[0], g[1]) == pytest.approx(w, abs=0)
+
+    def test_banded_mixed_length_chunking(self, rng):
+        # wide length spread in one request: the chunk planner must keep
+        # every pair's band covered by its chunk's shared window
+        pairs, opens, ks, mids = [], [], [], []
+        for lo, hi in ((80, 150), (300, 500), (600, 1000)):
+            p, o, kk, mm = self._pairs(rng, n_pairs=5, lo=lo, hi=hi)
+            pairs += p; opens += o; ks += kk; mids += mm
+        got = sg_stats_batch_pallas(pairs, opens, ks, mids, band=150,
+                                    interpret=True)
+        full = [oracle(a, b, o, k, m)
+                for (a, b), o, k, m in zip(pairs, opens, ks, mids)]
+        for g, w in zip(got, full):
+            assert g == pytest.approx(w, abs=0)
+
+    def test_window_schedule_covers_band(self, rng):
+        from ngspeciesid_tpu.ops.align_stats_pallas import _window_schedule
+
+        for _ in range(20):
+            B = int(rng.integers(1, 9))
+            len1 = rng.integers(50, 1200, size=B)
+            len2 = rng.integers(50, 1200, size=B)
+            n = int(len1.max()); m = int(len2.max())
+            band = int(rng.choice([50, 150, 300]))
+            base, W = _window_schedule(len1, len2, n, m, band)
+            base = base[0]
+            # slope and monotonicity invariants consumed by the kernel
+            d = np.diff(base[: n + m + 1].astype(np.int64))
+            assert (d >= 0).all() and (d <= 1).all()
+            if W >= n + 1:
+                continue
+            # every interior in-band cell of every pair sits in the window
+            for b in range(B):
+                nb, mb = int(len1[b]), int(len2[b])
+                i = np.arange(1, nb + 1, dtype=np.int64)[:, None]
+                j = np.arange(1, mb + 1, dtype=np.int64)[None, :]
+                inband = ((j - band) * nb <= i * mb) & \
+                         (i * mb <= (j + band + 1) * nb - 1)
+                ii, jj = np.nonzero(inband)
+                iv, dv = ii + 1, ii + 1 + jj + 1
+                lane = iv - base[dv]
+                assert (lane >= 0).all() and (lane < W).all()

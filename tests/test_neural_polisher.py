@@ -62,3 +62,50 @@ class TestNeuralPolish:
         seq = open(cons[0]).read().splitlines()[1]
         from ngspeciesid_tpu.utils.seqs import seq_bytes
         assert edit_distance(seq_bytes(seq), seq_bytes(template)) <= 2
+
+
+class TestMedakaModelSemantics:
+    """--medaka_model resolution (reference consensus.py:100-101) after the
+    prove-or-demote eval (scripts/eval_polisher.py)."""
+
+    def test_empty_is_deterministic(self):
+        from ngspeciesid_tpu.consensus.stage import _load_neural_polisher
+        assert _load_neural_polisher("") is None
+
+    def test_medaka_model_name_maps_to_caller(self):
+        from ngspeciesid_tpu.consensus.stage import _load_neural_polisher
+        assert _load_neural_polisher("r941_min_high_g360") is None
+        assert _load_neural_polisher("r103_min_high_g345") is None
+
+    def test_npz_path_loads_gru(self):
+        import os
+        from ngspeciesid_tpu.consensus.stage import _load_neural_polisher
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "ngspeciesid_tpu", "data", "polisher_gru.npz")
+        got = _load_neural_polisher(path)
+        assert got is not None
+        params, fn = got
+        assert callable(fn) and params
+
+    def test_unknown_string_errors(self):
+        from ngspeciesid_tpu.consensus.stage import _load_neural_polisher
+        with pytest.raises(ValueError):
+            _load_neural_polisher("definitely/not/a/model.bin")
+
+
+class TestPolisherAccuracyGrid:
+    def test_deterministic_caller_is_medaka_class_and_gru_not_better(self):
+        # the demotion evidence, in miniature: at amplicon depth the
+        # deterministic caller already reaches the template and the GRU
+        # never improves on it (full grid: scripts/eval_polisher.py)
+        from scripts.eval_polisher import run_grid
+        import os
+        from ngspeciesid_tpu.models.train import load_params
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "ngspeciesid_tpu", "data", "polisher_gru.npz")
+        params = load_params(path)
+        rows = run_grid(params, n_templates=3, tlen=400, seed=7)
+        for depth, e, d1, d2, dg in rows:
+            if depth >= 30 and e <= 0.10:
+                assert d2 == 0.0      # medaka-class at amplicon depth
+            assert dg >= d2 - 1e-9    # GRU never beats the caller

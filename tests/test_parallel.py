@@ -7,34 +7,10 @@ import jax
 
 from ngspeciesid_tpu.config import Config
 from ngspeciesid_tpu.ops.align import sg_align_batch
-from ngspeciesid_tpu.parallel.shard import data_parallel_mesh, sharded_align_batch
 
 
 def rand_seq(rng, n):
     return rng.integers(65, 69, size=n).astype(np.uint8)
-
-
-class TestShardedAlign:
-    def test_matches_host_backend(self, rng):
-        mesh = data_parallel_mesh(8)
-        assert mesh.devices.size == 8
-        pairs, opens = [], []
-        for _ in range(40):
-            pairs.append((rand_seq(rng, int(rng.integers(10, 80))),
-                          rand_seq(rng, int(rng.integers(10, 80)))))
-            opens.append(int(rng.choice([2, 3, 5])))
-        got = sharded_align_batch(pairs, opens, mesh, interpret=True)
-        want = sg_align_batch(pairs, opens, backend="numpy")
-        for g, w in zip(got, want):
-            assert g.tolist() == w.tolist()
-
-    def test_uneven_batch(self, rng):
-        mesh = data_parallel_mesh(8)
-        pairs = [(rand_seq(rng, 30), rand_seq(rng, 35)) for _ in range(3)]
-        got = sharded_align_batch(pairs, [3, 3, 3], mesh, interpret=True)
-        want = sg_align_batch(pairs, [3, 3, 3], backend="numpy")
-        for g, w in zip(got, want):
-            assert g.tolist() == w.tolist()
 
 
 class TestMergeTreeOnVirtualShards:

@@ -240,3 +240,39 @@ class TestOrientation:
         seqs, quals, _ = orient_reads(t, [reverse_complement_bytes(r)], [q[::-1]])
         assert seqs[0].tolist() == r.tolist()
         assert quals[0].tolist() == q.tolist()
+
+
+class TestDraftCapNeutrality:
+    def test_capped_draft_polishes_to_same_consensus(self, rng):
+        # VERDICT r2 missing #4: the 30-read draft cap (consensus/stage.py)
+        # vs the reference's pool-everything spoa draft (consensus.py:260-266)
+        # must be consensus-neutral once the polish pass re-votes every
+        # column with ALL reads.  Adversarial depth profile: error rates
+        # RISE with rank, so the capped draft sees only the cleanest reads
+        # while the uncapped draft folds in the noisy tail.
+        from ngspeciesid_tpu.ops.edit import _dp_rows
+        from ngspeciesid_tpu.ops.poa import msa_consensus_batch, polish_round
+
+        t = make_template(rng, 500)
+        reads, quals = [], []
+        for i in range(150):
+            err = 0.04 + 0.14 * (i / 149.0)   # skewed: later reads worse
+            r, q = noisy_copy(rng, t, err)
+            reads.append(r)
+            quals.append(q)
+        capped = msa_consensus_batch([reads], max_reads=30)[0]
+        uncapped = msa_consensus_batch([reads], max_reads=-1)[0]
+
+        def polish2(draft):
+            p = polish_round(draft, reads, quals)
+            return polish_round(p, reads, quals)
+
+        pc, pu = polish2(capped), polish2(uncapped)
+
+        def ed(a, b):
+            return int(_dp_rows(a, b, anchored=True)[b.size])
+
+        # both pipelines land on the template; cap is consensus-neutral
+        assert ed(pc, t) <= 1
+        assert ed(pu, t) <= 1
+        assert ed(pc, pu) <= 1
