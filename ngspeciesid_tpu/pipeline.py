@@ -164,10 +164,15 @@ def write_cluster_tables(
     return nontrivial
 
 
-def run(cfg: Config) -> None:
-    """Full pipeline (reference main, NGSpeciesID:36-158)."""
+def run(cfg: Config, stage_walls: Optional[dict] = None) -> None:
+    """Full pipeline (reference main, NGSpeciesID:36-158).
+
+    ``stage_walls``: optional dict filled with per-stage wall seconds
+    (sort / cluster / consensus+polish) — consumed by bench.py."""
     import time
 
+    if stage_walls is None:
+        stage_walls = {}
     mkdir_p(cfg.outfolder)
     profiling = bool(getattr(cfg, "profile", False))
     stage_log = logger.info if profiling else logger.debug
@@ -183,14 +188,16 @@ def run(cfg: Config) -> None:
     try:
         t0 = time.time()
         sorted_path = score_and_sort(cfg)
-        stage_log("elapsed time sorting: %.2fs", time.time() - t0)
+        stage_walls["sort"] = time.time() - t0
+        stage_log("elapsed time sorting: %.2fs", stage_walls["sort"])
         read_array = load_read_array(sorted_path, cfg)
         abundance_cutoff = int(cfg.abundance_ratio * len(read_array))
 
         logger.info("Starting Clustering: %d reads", len(read_array))
         t0 = time.time()
         clusters, store, alive = cluster_read_array(read_array, cfg, sorted_path)
-        stage_log("Time elapsed clustering: %.2fs", time.time() - t0)
+        stage_walls["cluster"] = time.time() - t0
+        stage_log("Time elapsed clustering: %.2fs", stage_walls["cluster"])
         nontrivial = write_cluster_tables(clusters, store, cfg)
         logger.info("Finished Clustering: %d clusters formed", nontrivial)
 
@@ -207,7 +214,9 @@ def run(cfg: Config) -> None:
             centers = run_consensus_stage(
                 clusters, rep_scores, sorted_path, work_dir, abundance_cutoff, cfg
             )
-            stage_log("Time elapsed consensus+polish: %.2fs", time.time() - t0)
+            stage_walls["consensus_polish"] = time.time() - t0
+            stage_log("Time elapsed consensus+polish: %.2fs",
+                      stage_walls["consensus_polish"])
             shutil.rmtree(work_dir)
             logger.info("Finished Consensus creation: %d created", len(centers))
     finally:
