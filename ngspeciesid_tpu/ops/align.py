@@ -409,6 +409,22 @@ def sg_align_batch(
         from .. import native
         return native.align_batch_native(pairs, gap_opens, match, mismatch,
                                          gap_ext, band=band)
+    if backend == "pallas":
+        # device DP + on-device traceback; O(n+m) bytes per pair leave the
+        # chip (see ops/align_moves_pallas.py).  Pairs whose move store
+        # exceeds the VMEM cap fall back to the host mirror.
+        from .align_moves_pallas import sg_moves_batch_pallas
+        out = sg_moves_batch_pallas(pairs, gap_opens, match=match,
+                                    mismatch=mismatch, gap_ext=gap_ext,
+                                    band=band)
+        missing = [t for t, mv in enumerate(out) if mv is None]
+        if missing:
+            fb = sg_align_batch([pairs[t] for t in missing],
+                                [gap_opens[t] for t in missing],
+                                match, mismatch, gap_ext, "numpy", band=0)
+            for t, mv in zip(missing, fb):
+                out[t] = mv
+        return out  # type: ignore[return-value]
     if backend == "jax":
         # coarse power-of-two-ish buckets: bound compiled-shape diversity
         n = _bucket_width(max(a.size for a, _ in pairs))

@@ -349,12 +349,43 @@ def _popcount(x: np.ndarray) -> np.ndarray:
     return ((x * np.uint32(0x01010101)) >> 24).astype(np.int64)
 
 
+_SCHED_CACHE: dict = {}
+
+
 def _window_schedule(len1: np.ndarray, len2: np.ndarray,
                      n: int, m: int, band: int) -> Tuple[np.ndarray, int]:
     """Per-diagonal window origin ``base`` and width ``W`` covering every
     pair's banded cell set (plus the boundary rows/columns each pair's band
     touches).  base is non-decreasing with slope <= 1, so in-kernel frame
-    shifts are lane rolls by {0, 1} ({0..2} across two diagonals)."""
+    shifts are lane rolls by {0, 1} ({0..2} across two diagonals).
+
+    Memoized on the (min/max length, bucket, band) envelope: the hull of
+    the envelope's two extreme pairs contains every pair hull, so reusing
+    it preserves coverage while collapsing the per-launch recompute."""
+    key = (int(len1.min()), int(len1.max()), int(len2.min()),
+           int(len2.max()), n, m, band)
+    hit = _SCHED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _window_schedule_raw(len1, len2, n, m, band, key)
+    if len(_SCHED_CACHE) > 4096:
+        _SCHED_CACHE.clear()
+    _SCHED_CACHE[key] = out
+    return out
+
+
+def _window_schedule_raw(len1, len2, n, m, band, key) -> Tuple[np.ndarray, int]:
+    # Envelope: the hull formulas below are monotone in n_b and in m_b, so
+    # the four corner combinations of (min/max len1, min/max len2) bound
+    # every pair pointwise per diagonal.  No dead-diagonal exclusion: a
+    # corner whose matrix has ended keeps contributing its (clipped,
+    # nondecreasing) hull values, which can only lower base / raise W —
+    # both coverage-safe.  (An exclusion would be UNsafe: dropping a short
+    # corner at large dd can raise the min above a live mid-length pair.)
+    l1a, l1b = key[0], key[1]
+    l2a, l2b = key[2], key[3]
+    len1 = np.array([l1a, l1a, l1b, l1b], np.int64)
+    len2 = np.array([l2a, l2b, l2a, l2b], np.int64)
     D = n + m
     dpad = -(-(D + 1) // 8) * 8
     if band <= 0:
@@ -368,7 +399,8 @@ def _window_schedule(len1: np.ndarray, len2: np.ndarray,
     lo_int = -(-(np.maximum(dd - band, 0) * n_b) // tot)    # ceil
     hi_int = ((dd + band + 1) * n_b - 1) // tot
     lo_int = np.maximum(lo_int, np.maximum(1, dd - m_b))
-    hi_int = np.minimum(hi_int, np.minimum(dd - 1, n_b))
+    hi_int = np.minimum(hi_int, n_b)
+    hi_int = np.maximum(hi_int, 0)
     # boundary i=0 (cell (0, dd)): consumed by in-band cells at i=1, which
     # exist only while dd <= band + len2/len1 (+ slack)
     lo = np.where(dd <= np.minimum(m_b, band + m_b // n_b + 2), 0, lo_int)
@@ -376,20 +408,9 @@ def _window_schedule(len1: np.ndarray, len2: np.ndarray,
     # exist only while i <= (band+1)*len1/len2 (+ slack)
     hi = np.where(dd <= np.minimum(n_b, (band + 1) * n_b // m_b + 2),
                   np.minimum(dd, n_b), hi_int)
-    # diagonals past a pair's matrix contribute nothing to its hull
-    dead = (dd > tot) | (hi < lo)
-    big = np.int64(1 << 40)
-    need_lo = np.minimum.reduce(np.where(dead, big, lo), axis=1)
-    need_hi = np.maximum.reduce(np.where(dead, -1, hi), axis=1)
-    # diagonals where every pair is dead (e.g. past the shortest pair's
-    # n+m on a bucket-sized sweep) carry no cells: hold the last alive
-    # origin so the frame stays monotone
-    alive_d = need_lo != big
-    last = np.maximum.accumulate(
-        np.where(alive_d, np.arange(need_lo.size, dtype=np.int64), -1))
-    need_lo = np.where(
-        alive_d, need_lo,
-        np.where(last >= 0, need_lo[np.maximum(last, 0)], 0))
+    hi = np.minimum(hi, np.minimum(dd, n_b))
+    need_lo = np.minimum.reduce(np.clip(lo, 0, n), axis=1)
+    need_hi = np.maximum.reduce(hi, axis=1)
     base = np.clip(need_lo, 0, n)
     # slope <= 1: cap upward jumps (a short pair leaving the hull can make
     # need_lo jump) by base[d] <- min_{e<=d}(need_lo[e] + (d - e)); lowering

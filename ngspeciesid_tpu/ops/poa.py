@@ -277,7 +277,8 @@ def pileup_stats(
     st = PileupStats(L)
     if not reads or L == 0:
         return st
-    if os.environ.get("NGSID_PILEUP") != "python":
+    backend = os.environ.get("NGSID_PILEUP", "")
+    if backend not in ("python", "pallas"):
         from .. import native
         if native.available():
             return _pileup_stats_native(center, reads, quals, windows)
@@ -286,9 +287,22 @@ def pileup_stats(
     else:
         pairs = [(center[windows[i, 0]:windows[i, 1]], r)
                  for i, r in enumerate(reads)]
-    moves_all = sg_align_batch(pairs, [POA_OPEN] * len(pairs),
-                               match=POA_MATCH, mismatch=POA_MISMATCH,
-                               gap_ext=POA_EXT, band=POA_BAND)
+    moves_all = None
+    if backend == "pallas":
+        # device path: banded DP + on-device traceback (only the op
+        # streams cross the host link); the per-read accumulation walk
+        # below is shared, so outputs are bit-identical whenever the
+        # optimal paths stay inside the band (the polish-window contract)
+        from .align_moves_pallas import sg_moves_batch_pallas
+        dev = sg_moves_batch_pallas(pairs, [POA_OPEN] * len(pairs),
+                                    match=POA_MATCH, mismatch=POA_MISMATCH,
+                                    gap_ext=POA_EXT, band=POA_BAND)
+        if all(mv is not None for mv in dev):
+            moves_all = dev
+    if moves_all is None:
+        moves_all = sg_align_batch(pairs, [POA_OPEN] * len(pairs),
+                                   match=POA_MATCH, mismatch=POA_MISMATCH,
+                                   gap_ext=POA_EXT, band=POA_BAND)
     votes, qvotes = st.votes, st.qvotes
     for ri_read, moves in enumerate(moves_all):
         read = reads[ri_read]
