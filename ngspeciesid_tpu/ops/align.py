@@ -512,8 +512,12 @@ def stats_backend_default() -> str:
 
 
 #: Below this many pairs a pallas launch is dominated by the host link
-#: round trip; fall back to the native engine when it exists.
-_PALLAS_MIN_BATCH = 32
+#: round trip (~25 ms through the axon tunnel vs ~0.08 ms/pair of device
+#: compute); such batches route to the native engine when it exists, so
+#: the chip takes the bulk first-pass waves and the CPU mops up small
+#: sub-round replays.  Hosts without a C++ toolchain still run everything
+#: on the chip.
+_PALLAS_MIN_BATCH = 192
 
 
 def _effective_backend(backend: Optional[str], n_pairs: int) -> str:

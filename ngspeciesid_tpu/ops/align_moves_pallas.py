@@ -246,13 +246,14 @@ def _pallas_moves(blob,
                   n: int, m: int, W: int, band: int,
                   match: int, mismatch: int, gap_ext: int,
                   interpret: bool = False):
+    from .align_stats_pallas import _le_i32
+
     o1 = PB + Bp * 32
     o2 = o1 + dpad * 4
     pool = blob[:PB]
-    pm = jax.lax.bitcast_convert_type(
-        blob[PB:o1].reshape(Bp, 8, 4), jnp.int32)
-    base = jax.lax.bitcast_convert_type(
-        blob[o1:o2].reshape(1, dpad, 4), jnp.int32)
+    # endian-explicit reassembly; see align_stats_pallas._le_i32
+    pm = _le_i32(blob[PB:o1].reshape(Bp, 8, 4))
+    base = _le_i32(blob[o1:o2].reshape(1, dpad, 4))
     len1 = pm[:, 0]
     len2 = pm[:, 1]
     off1 = pm[:, 5]

@@ -282,10 +282,11 @@ def _pallas_stats(blob,
     o1 = PB + Bp * 32
     o2 = o1 + dpad * 4
     pool = blob[:PB]
-    pm = jax.lax.bitcast_convert_type(
-        blob[PB:o1].reshape(Bp, 8, 4), jnp.int32)          # (Bp, 8)
-    base = jax.lax.bitcast_convert_type(
-        blob[o1:o2].reshape(1, dpad, 4), jnp.int32)
+    # endian-explicit int32 reassembly (byte 0 = LSB, matching the host's
+    # little-endian .view(uint8)): XLA's bitcast_convert_type packs the
+    # trailing byte dim major-to-minor on TPU, i.e. byte-swapped vs CPU
+    pm = _le_i32(blob[PB:o1].reshape(Bp, 8, 4))            # (Bp, 8)
+    base = _le_i32(blob[o1:o2].reshape(1, dpad, 4))
     len1 = pm[:, 0]
     len2 = pm[:, 1]
     off1 = pm[:, 5]
@@ -338,6 +339,12 @@ def _pallas_stats(blob,
         interpret=interpret,
     )(base, meta, s1b, s2r)
     return best
+
+
+def _le_i32(b):
+    """uint8 (..., 4) -> int32, byte 0 least significant (platform-fixed)."""
+    b = b.astype(jnp.int32)
+    return b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
 
 
 def _popcount(x: np.ndarray) -> np.ndarray:
