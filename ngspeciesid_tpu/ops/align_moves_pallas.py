@@ -64,15 +64,18 @@ _MOVES_VMEM_CAP = 12 << 20
 
 
 def _shift1(x, shift, lanes, W, fill):
+    # negative dynamic roll shifts miscompile on multi-tile widths
+    # (align_stats_pallas._shift_lanes); normalize to [0, W)
     src = lanes - shift
     bad = (src < 0) | (src >= W)
-    return jnp.where(bad, fill, pltpu.roll(x, shift, 1))
+    rshift = jnp.where(shift < 0, shift + W, shift)
+    return jnp.where(bad, fill, pltpu.roll(x, rshift, 1))
 
 
 def _moves_kernel(base_ref,                              # SMEM (1, Dpad)
                   meta_ref, s1_ref, s2r_ref,             # inputs (VMEM)
                   best_ref, ops_ref,                     # outputs
-                  Hd1, Hd2, Ee, Ff, Trk, Mv,             # scratch
+                  Hd1, Hd2, Ee, Ff, Trk, Mv, BestS, OpsS,  # scratch
                   *, match: int, mismatch: int, gap_ext: int,
                   n: int, m: int, W: int, band: int, n_steps: int,
                   dpad: int):
@@ -124,8 +127,12 @@ def _moves_kernel(base_ref,                              # SMEM (1, Dpad)
         fopen_bit = (f_open >= f_ext).astype(jnp.int32)
         fnew = jnp.maximum(f_open, f_ext)
 
-        s1c = pltpu.roll(s1_ref[:, :], 1 - base, 1)[:, :W]
-        s2c = pltpu.roll(s2r_ref[:, :], (dd - base) - (n + m), 1)[:, :W]
+        # shifts mod width: dynamic negative shifts miscompile multi-tile
+        s1c = pltpu.roll(s1_ref[:, :],
+                         (1 - base) % s1_ref.shape[1], 1)[:, :W]
+        s2c = pltpu.roll(s2r_ref[:, :],
+                         ((dd - base) - (n + m)) % s2r_ref.shape[1],
+                         1)[:, :W]
         ismatch = (s1c == s2c) & (iv >= 1) & (iv <= len1) & \
             (jv >= 1) & (jv <= len2)
         sub = jnp.where(ismatch, jnp.int32(match), jnp.int32(mismatch))
@@ -232,8 +239,13 @@ def _moves_kernel(base_ref,                              # SMEM (1, Dpad)
 
         carry = jax.lax.fori_loop(
             0, Dtot, body, (zero, zero, zero, zero, ops_acc0))
-        ops_ref[:, :] = carry[-1].astype(jnp.uint8)
-        best_ref[:, :] = out
+        OpsS[:, :] = carry[-1].astype(jnp.uint8)
+        BestS[:, :] = out
+
+    # outputs must be written on every grid step (double-buffered blocks;
+    # see align_stats_pallas._stats_kernel)
+    ops_ref[:, :] = OpsS[:, :]
+    best_ref[:, :] = jnp.where(d == n_steps - 1, BestS[:, :], 0)
 
 
 @functools.partial(
@@ -303,6 +315,8 @@ def _pallas_moves(blob,
             pltpu.VMEM((SUBLANES, W), jnp.int32),
             pltpu.VMEM((6, SUBLANES, W), jnp.int32),
             pltpu.VMEM((DM, SUBLANES, W), jnp.uint8),
+            pltpu.VMEM((SUBLANES, BEST_W), jnp.int32),
+            pltpu.VMEM((SUBLANES, dpad), jnp.uint8),
         ],
         out_shape=[jax.ShapeDtypeStruct((Bp, BEST_W), jnp.int32),
                    jax.ShapeDtypeStruct((Bp, dpad), jnp.uint8)],

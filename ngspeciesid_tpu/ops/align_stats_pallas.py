@@ -99,9 +99,13 @@ def _shift_lanes(stats, shift, lanes, W, neg):
     [0, W) become unreachable (score NEG, stats 0)."""
     src = lanes - shift
     bad = (src < 0) | (src >= W)
+    # NEGATIVE dynamic roll shifts are miscompiled on TPU for multi-tile
+    # (> 128 lane) widths — verified by hardware bisect; single-tile and
+    # all static shifts are fine.  Normalize to [0, W).
+    rshift = jnp.where(shift < 0, shift + W, shift)
     out = []
     for fi, x in enumerate(stats):
-        r = pltpu.roll(x, shift, 1)
+        r = pltpu.roll(x, rshift, 1)
         fill = neg if fi == 0 else jnp.int32(0)
         out.append(jnp.where(bad, fill, r))
     return tuple(out)
@@ -110,7 +114,7 @@ def _shift_lanes(stats, shift, lanes, W, neg):
 def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
                   meta_ref, s1_ref, s2r_ref,             # inputs (VMEM)
                   best_ref,                              # output (8, BEST_W)
-                  Hd1, Hd2, Ee, Ff, Trow, Tcol,          # scratch
+                  Hd1, Hd2, Ee, Ff, Trow, Tcol, Best,    # scratch
                   *, match: int, mismatch: int, gap_ext: int,
                   n: int, m: int, W: int, band: int, n_steps: int):
     d = pl.program_id(1)
@@ -198,8 +202,13 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
         # right-aligned reversed staging (s2[j-1] = s2r[n+m-j]).  Sequences
         # arrive as int32 rows (converted on device from the uint8 transfer
         # buffers — the tunnel link, not the VPU, is the scarce resource).
-        s1c = pltpu.roll(s1_ref[:, :], 1 - base, 1)[:, :W]
-        s2c = pltpu.roll(s2r_ref[:, :], (dd - base) - (n + m), 1)[:, :W]
+        # roll shifts taken mod the array width: dynamic negative shifts
+        # miscompile on multi-tile widths (see _shift_lanes)
+        s1c = pltpu.roll(s1_ref[:, :],
+                         (1 - base) % s1_ref.shape[1], 1)[:, :W]
+        s2c = pltpu.roll(s2r_ref[:, :],
+                         ((dd - base) - (n + m)) % s2r_ref.shape[1],
+                         1)[:, :W]
         ismatch = ((s1c == s2c) & (iv >= 1) & (iv <= len1)
                    & (jv >= 1) & (jv <= len2)).astype(jnp.int32)
         sub = jnp.where(ismatch == 1, jnp.int32(match), jnp.int32(mismatch))
@@ -247,7 +256,12 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
         Trow[fi] = trow[fi]
         Tcol[fi] = tcol[fi]
 
-    # ---- final cross-lane pick, once per tile, on the last grid step
+    # ---- final cross-lane pick, once per tile, on the last grid step.
+    # The OUTPUT ref must be written on every grid step (TPU output blocks
+    # are double-buffered per step; a step that skips the write can leave
+    # the copied-out buffer undefined — observed on hardware, invisible in
+    # interpret mode), so the summary lands in scratch and the output is
+    # unconditionally copied from it.
     @pl.when(d == n_steps - 1)
     def _finalize():
         cidx = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, BEST_W), 1)
@@ -261,7 +275,9 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
                 v = jnp.max(jnp.where(pick, trk[fi],
                                       NEG if fi == 0 else -1), axis=1)
                 out = jnp.where(cidx == off + c, v[:, None], out)
-        best_ref[:, :] = out
+        Best[:, :] = out
+
+    best_ref[:, :] = jnp.where(d == n_steps - 1, Best[:, :], 0)
 
 
 @functools.partial(
@@ -334,6 +350,7 @@ def _pallas_stats(blob,
             pltpu.VMEM((N_FIELDS, SUBLANES, W), jnp.int32),
             pltpu.VMEM((N_TRK, SUBLANES, W), jnp.int32),
             pltpu.VMEM((N_TRK, SUBLANES, W), jnp.int32),
+            pltpu.VMEM((SUBLANES, BEST_W), jnp.int32),
         ],
         out_shape=[jax.ShapeDtypeStruct((B, BEST_W), jnp.int32)],
         interpret=interpret,
