@@ -123,6 +123,25 @@ def _kernel_gcups_probe():
 
 
 def main():
+    import threading
+
+    # Watchdog: the TPU tunnel can wedge mid-call (observed: jax.devices()
+    # hanging); if the bench exceeds its budget, emit a JSON line from
+    # whatever was measured so the round still records a result.
+    partial = {"metric": "reads_per_s_clustered_polished", "value": 0.0,
+               "unit": "reads/s", "vs_baseline": 0.0,
+               "error": "watchdog: bench exceeded budget (device tunnel hang?)"}
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", "2100"))
+
+    def _watchdog():
+        partial["watchdog_fired"] = True
+        print(json.dumps(partial), flush=True)
+        os._exit(2)
+
+    timer = threading.Timer(budget, _watchdog)
+    timer.daemon = True
+    timer.start()
+
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -177,6 +196,8 @@ def main():
     baseline_reads_per_s = n_reads / ref_total_s
 
     reads_per_s = n_reads / elapsed
+    partial.update(value=round(reads_per_s, 3), wall_s=round(elapsed, 2))
+    partial.pop("error", None)
     result = {
         "metric": "reads_per_s_clustered_polished",
         "value": round(reads_per_s, 3),
@@ -199,6 +220,7 @@ def main():
             result.update(probe)
     except Exception as e:  # never fail the bench on the probe
         result["kernel_probe_error"] = str(e)[:120]
+    timer.cancel()
     print(json.dumps(result))
     return 0
 
