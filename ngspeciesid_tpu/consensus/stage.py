@@ -216,8 +216,11 @@ def detect_reverse_complements(centers: List[List], rc_identity_threshold: float
 # ---------------------------------------------------------------------------
 
 #: medaka model names (reference forwards --medaka_model as medaka's -m,
-#: consensus.py:100-101): r941_min_high_g360-style basecaller profiles.
-_MEDAKA_NAME = re.compile(r"^r\d+(_[a-z0-9]+)*$", re.IGNORECASE)
+#: consensus.py:100-101): basecaller-profile strings like
+#: ``r941_min_high_g360`` or ``r1041_e82_400bps_sup_v4.2.0`` — any
+#: ``r<digits>``-prefixed non-path token (segments of letters / digits /
+#: dots separated by underscores).
+_MEDAKA_NAME = re.compile(r"^r\d+[a-z0-9.]*(_[a-z0-9.]+)*$", re.IGNORECASE)
 
 
 def _load_neural_polisher(medaka_model: str):
@@ -240,9 +243,11 @@ def _load_neural_polisher(medaka_model: str):
         from ..models.train import load_params
         return load_params(medaka_model), neural_polish_round
     if _MEDAKA_NAME.match(medaka_model):
-        logger.info(
-            "medaka model %r: using the quality-weighted pileup caller "
-            "(accuracy-equivalent at amplicon depth; scripts/eval_polisher.py)",
+        logger.warning(
+            "medaka model %r: substituting the quality-weighted pileup "
+            "caller (no neural net runs; accuracy-equivalent at amplicon "
+            "depth per scripts/eval_polisher.py) — this diverges from the "
+            "reference, which would pass the name through to medaka",
             medaka_model)
         return None
     raise ValueError(

@@ -392,10 +392,12 @@ def sg_align_batch(
     """Align a batch of byte-sequence pairs; return per-pair move arrays
     (full alignment columns incl. terminal gaps).
 
-    backend: "native" (C++ engine), "jax", "numpy", or None for auto.
-    band > 0 restricts the native DP to +-band of the scaled main diagonal
-    (exact whenever the optimal path stays inside, i.e. for same-template
-    amplicon pairs); non-native backends ignore it (full DP)."""
+    backend: "native" (C++ engine), "pallas", "jax", "numpy", or None for
+    auto.  band > 0 restricts the native AND pallas DPs to +-band of the
+    scaled main diagonal (exact whenever the optimal path stays inside,
+    i.e. for same-template amplicon pairs); pairs the pallas move store
+    cannot hold fall back to the host mirror at band=0 (full DP); the
+    jax/numpy backends always run the full DP."""
     if not pairs:
         return []
     B = len(pairs)

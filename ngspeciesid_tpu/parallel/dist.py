@@ -104,6 +104,8 @@ class DeviceWorld:
 
     def __init__(self, size: int) -> None:
         import jax
+        from functools import partial
+        from jax.sharding import Mesh, PartitionSpec
 
         devs = jax.devices()
         if len(devs) < size:
@@ -114,36 +116,39 @@ class DeviceWorld:
         self._barrier = threading.Barrier(size)
         self._in: List[Optional[np.ndarray]] = [None] * size
         self._out: Optional[List[np.ndarray]] = None
+        self._mesh = Mesh(np.asarray(self.devices), ("rank",))
 
-    def comm(self, rank: int) -> "DeviceComm":
-        return DeviceComm(self, rank)
-
-    def _exchange(self) -> None:
-        import jax
-        from functools import partial
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec
-        shard_map = jax.shard_map
-
-        sizes = np.array([a.size for a in self._in], np.int64)
-        mx = max(1, int(sizes.max()))
-        mesh = Mesh(np.asarray(self.devices), ("rank",))
-        blocks = [
-            jax.device_put(np.pad(a, (0, mx - a.size))[None, :], d)
-            for a, d in zip(self._in, self.devices)
-        ]
-        garr = jax.make_array_from_single_device_arrays(
-            (self.size, mx),
-            NamedSharding(mesh, PartitionSpec("rank", None)), blocks)
-
+        # the jitted collective is built ONCE per world: a closure created
+        # inside _exchange would be a fresh function every call and retrace
+        # each exchange (ADVICE r3); jit's own cache handles new payload
+        # shapes, identical shapes reuse the compiled executable
         @jax.jit
-        @partial(shard_map, mesh=mesh,
+        @partial(jax.shard_map, mesh=self._mesh,
                  in_specs=PartitionSpec("rank", None),
                  out_specs=PartitionSpec(None, None),
                  check_vma=False)  # all_gather output is replicated by
         def _ag(x):                # construction; the static checker
             return jax.lax.all_gather(x, "rank", axis=0, tiled=True)
 
-        data = np.asarray(_ag(garr))
+        self._ag = _ag
+
+    def comm(self, rank: int) -> "DeviceComm":
+        return DeviceComm(self, rank)
+
+    def _exchange(self) -> None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sizes = np.array([a.size for a in self._in], np.int64)
+        mx = max(1, int(sizes.max()))
+        blocks = [
+            jax.device_put(np.pad(a, (0, mx - a.size))[None, :], d)
+            for a, d in zip(self._in, self.devices)
+        ]
+        garr = jax.make_array_from_single_device_arrays(
+            (self.size, mx),
+            NamedSharding(self._mesh, PartitionSpec("rank", None)), blocks)
+        data = np.asarray(self._ag(garr))
         self._out = [data[p, : int(sizes[p])].copy()
                      for p in range(self.size)]
 
