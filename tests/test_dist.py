@@ -193,3 +193,68 @@ class TestDeviceCollectives:
         via_threads = _run_distributed(read_array, kwargs, 4)
         via_devices = _run_distributed_devices(read_array, kwargs, 4)
         assert via_devices == via_threads
+
+
+def spawn_jaxcomm_workers(n_ranks: int, out_dir, timeout_s: float = 300.0):
+    """Spawn ``n_ranks`` REAL OS processes running tests/jaxcomm_worker.py
+    under ``jax.distributed.initialize`` + gloo CPU collectives; returns the
+    per-rank (clusters, alive) results.  Shared by the pytest below and by
+    __graft_entry__.dryrun_multichip."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "jaxcomm_worker.py")
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # each worker is a fresh single-device CPU world; drop any inherited
+    # compilation-cache dir contention risk-free (cache is shared-safe, keep)
+    procs, outs = [], []
+    for r in range(n_ranks):
+        out = os.path.join(str(out_dir), f"jaxcomm_rank{r}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(r), str(n_ranks), str(port), out],
+            env=env, cwd=os.path.dirname(os.path.dirname(worker)),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    try:
+        for r, p in enumerate(procs):
+            rc = p.wait(timeout=timeout_s)
+            if rc != 0:
+                err = p.stderr.read().decode(errors="replace")[-2000:]
+                raise RuntimeError(f"jaxcomm worker rank {r} exited {rc}:\n{err}")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    results = []
+    for out in outs:
+        with open(out) as f:
+            d = json.load(f)
+        results.append(({int(k): v for k, v in d["clusters"].items()},
+                        d["alive"]))
+    return results
+
+
+class TestJaxCommMultiProcess:
+    """JaxComm over the REAL multi-process transport (VERDICT r3 item 2):
+    N OS processes join a jax.distributed coordinator, the exchange is
+    multihost_utils.process_allgather over gloo, and every rank's full
+    distributed-clustering result must equal the single-host merge tree."""
+
+    def test_two_process_jaxcomm_matches_merge_tree(self, tmp_path):
+        from .jaxcomm_worker import run_driver
+
+        got = spawn_jaxcomm_workers(2, tmp_path)
+        want_clusters, want_alive = run_driver(None, nr_cores=2)
+        for clusters, alive in got:
+            assert clusters == want_clusters
+            assert alive == want_alive
