@@ -126,14 +126,16 @@ def build_store(
         nonempty = lens > 0
         starts[bounds[:-1][nonempty]] = True    # run never spans two reads
         comp = flat[starts]
-        # per-read kept counts via reduceat with an int64 accumulator: a
-        # bool->int cumsum takes numpy's buffered casting path (seconds at
-        # 1G bases) and materializing run positions costs size-of-kept * 8
-        # bytes (~9 GB at 1M ONT reads)
+        # per-read kept counts via reduceat over an int8 VIEW of the bool
+        # mask with an int64 accumulator: reduceat on bool input takes
+        # numpy's buffered casting path (~3.6 s at 70M bases, ~10x that at
+        # 1M reads) while the int8 view hits the unbuffered int8->int64
+        # inner loop (0.18 s).  A bool->int cumsum or materialized run
+        # positions would cost seconds / gigabytes at 1M-read scale.
         counts = np.zeros(n, dtype=np.int64)
         if comp.size:
             counts[nonempty] = np.add.reduceat(
-                starts, bounds[:-1][nonempty], dtype=np.int64)
+                starts.view(np.int8), bounds[:-1][nonempty], dtype=np.int64)
         cb = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=cb[1:])
         hpol = [comp[cb[i]:cb[i + 1]] for i in range(n)]

@@ -280,28 +280,120 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
     best_ref[:, :] = jnp.where(d == n_steps - 1, Best[:, :], 0)
 
 
+class DevicePool:
+    """Device-resident deduplicated sequence pool (HBM).
+
+    Each distinct host row crosses the host->device link ONCE for the
+    lifetime of the pool and stays resident across launches, waves and
+    sub-rounds (VERDICT r3 item 1: stop re-shipping the pool every
+    launch); launches reference rows by (offset, length) and gather their
+    padded DP staging layouts from the resident array on device.  Appends
+    ship only rows not yet resident, padded to a coarse size ladder so the
+    transfer shapes stay compile-bounded; capacity grows on a power-of-4
+    ladder via an on-device copy (offsets never move).  The pool holds a
+    strong reference to every uploaded host row, so id()-keying is safe.
+    """
+
+    APPEND_MIN = 1 << 16          # 64 KB append granularity
+    CAP_MIN = 1 << 22             # 4 MB initial capacity
+    CAP_MAX = 1 << 30             # 1 GB: int32 offsets, bounded HBM
+
+    def __init__(self) -> None:
+        self._off: dict = {}      # id(row) -> byte offset
+        self._keep: dict = {}     # id(row) -> row (pin host arrays)
+        self._used = 0
+        self.cap = self.CAP_MIN
+        self.dev = None           # lazily-allocated jnp.uint8 (cap,)
+
+    @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _append(pool, chunk, off):
+        return jax.lax.dynamic_update_slice(pool, chunk, (off,))
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("newcap",), donate_argnums=(0,))
+    def _grow(pool, newcap: int):
+        out = jnp.zeros((newcap,), jnp.uint8)
+        return jax.lax.dynamic_update_slice(out, pool, (0,))
+
+    def reset(self) -> None:
+        self._off.clear()
+        self._keep.clear()
+        self._used = 0
+        self.cap = self.CAP_MIN
+        self.dev = None
+
+    def ensure(self, rows: Sequence[np.ndarray]) -> None:
+        """Upload any of ``rows`` not yet resident (one fused transfer)."""
+        missing = []
+        size = 0
+        seen = set()
+        for r in rows:
+            key = id(r)
+            if key not in self._off and key not in seen:
+                seen.add(key)
+                missing.append(r)
+                size += r.size
+        if self.dev is None:
+            self.dev = jnp.zeros((self.cap,), jnp.uint8)
+        if not missing:
+            return
+        if self._used + size > self.CAP_MAX:
+            # wrap: drop residency and start over (old offsets invalid, so
+            # every caller must take offsets AFTER ensure(), never cache)
+            self.reset()
+            self.dev = jnp.zeros((self.cap,), jnp.uint8)
+        while self._used + size > self.cap:
+            newcap = min(self.cap * 4, self.CAP_MAX)
+            self.dev = DevicePool._grow(self.dev, newcap=newcap)
+            self.cap = newcap
+        buf = np.concatenate(missing)
+        pad = self.APPEND_MIN
+        while pad < buf.size:
+            pad *= 4                  # transfer-shape ladder
+        chunk = np.zeros(pad, np.uint8)
+        chunk[: buf.size] = buf
+        self.dev = DevicePool._append(self.dev, jnp.asarray(chunk),
+                                      jnp.int32(self._used))
+        off = self._used
+        for r in missing:
+            self._off[id(r)] = off
+            self._keep[id(r)] = r
+            off += r.size
+        self._used = off
+
+    def offset(self, row: np.ndarray) -> int:
+        return self._off[id(row)]
+
+
+_DEVICE_POOL: Optional[DevicePool] = None
+
+
+def _device_pool() -> DevicePool:
+    global _DEVICE_POOL
+    if _DEVICE_POOL is None:
+        _DEVICE_POOL = DevicePool()
+    return _DEVICE_POOL
+
+
 @functools.partial(
-    jax.jit,
-    static_argnames=("PB", "Bp", "L1", "s2rw", "dpad",
-                     "n", "m", "W", "band", "match", "mismatch", "gap_ext",
-                     "interpret"))
-def _pallas_stats(blob,
+    jax.jit, static_argnames=("PB", "Bp", "L1", "s2rw", "dpad", "n", "m"))
+def _stage_inputs(pool, blob,
                   PB: int, Bp: int, L1: int, s2rw: int, dpad: int,
-                  n: int, m: int, W: int, band: int,
-                  match: int, mismatch: int, gap_ext: int,
-                  interpret: bool = False):
-    # One fused uint8 transfer per launch: each host->device array costs a
-    # full tunnel round trip, so the (deduplicated) sequence pool, pair
-    # table and window schedule ride in a single blob.  The padded DP
-    # staging layouts never cross the link — they are gathered from the
-    # pool on device.
-    o1 = PB + Bp * 32
+                  n: int, m: int):
+    """Gather the padded DP staging layouts from the RESIDENT pool.
+
+    Split from the Mosaic kernel jit so the kernel program is independent
+    of the pool-capacity ladder (kernel program loads through the tunnel
+    are the expensive part); this is a plain XLA gather program.  Only the
+    small pair-table blob (pm + window schedule) crosses the link per
+    launch — sequences are already on device."""
+    o1 = Bp * 32
     o2 = o1 + dpad * 4
-    pool = blob[:PB]
     # endian-explicit int32 reassembly (byte 0 = LSB, matching the host's
     # little-endian .view(uint8)): XLA's bitcast_convert_type packs the
     # trailing byte dim major-to-minor on TPU, i.e. byte-swapped vs CPU
-    pm = _le_i32(blob[PB:o1].reshape(Bp, 8, 4))            # (Bp, 8)
+    pm = _le_i32(blob[:o1].reshape(Bp, 8, 4))              # (Bp, 8)
     base = _le_i32(blob[o1:o2].reshape(1, dpad, 4))
     len1 = pm[:, 0]
     len2 = pm[:, 1]
@@ -320,7 +412,19 @@ def _pallas_stats(blob,
         jnp.take(pool, jnp.clip(off2[:, None] + srcj, 0, PB - 1),
                  mode="clip").astype(jnp.int32), -1)
     meta = jnp.pad(pm, ((0, 0), (0, BEST_W - 8)))
-    B = Bp
+    return meta, s1b, s2r, base
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "m", "W", "band", "match", "mismatch", "gap_ext",
+                     "interpret"))
+def _pallas_stats(meta, s1b, s2r, base,
+                  n: int, m: int, W: int, band: int,
+                  match: int, mismatch: int, gap_ext: int,
+                  interpret: bool = False):
+    B = meta.shape[0]
+    dpad = base.shape[1]
     n_tiles = B // SUBLANES
     n_steps = -(-(n + m) // DIAGS_PER_STEP)
     kernel = functools.partial(
@@ -580,20 +684,9 @@ def _launch_chunk(seqs, r1, r2, gap_opens, ks, match_ids,
     Bp = -(-B // SUBLANES) * SUBLANES
     Bp = max(SUBLANES if interpret else 128,
              1 << (Bp - 1).bit_length())
-    # deduplicated sequence pool: one copy per distinct row in this chunk
-    offs: dict = {}
-    parts: List[np.ndarray] = []
-    off = 0
-    for r in list(r1) + list(r2):
-        if r not in offs:
-            offs[r] = off
-            parts.append(seqs[r])
-            off += seqs[r].size
-    pool = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
-    PB = 4096 if interpret else (1 << 18)
-    while PB < pool.size:
-        PB *= 2                      # pool-size ladder bounds compile count
-    pool = np.pad(pool, (0, PB - pool.size))
+    # resident pool: rows already on device cost nothing; new rows ship once
+    pool = _device_pool()
+    pool.ensure([seqs[r] for r in dict.fromkeys(list(r1) + list(r2))])
     pm = np.ones((Bp, 8), np.int32)
     pm[:, 2] = 5
     pm[:, 3] = 13
@@ -603,15 +696,20 @@ def _launch_chunk(seqs, r1, r2, gap_opens, ks, match_ids,
     pm[:B, 2] = np.asarray(gap_opens, np.int32)
     pm[:B, 3] = np.asarray(ks, np.int32)
     pm[:B, 4] = np.asarray(match_ids, np.int32)
-    pm[:B, 5] = np.fromiter((offs[r] for r in r1), np.int64, count=B)
-    pm[:B, 6] = np.fromiter((offs[r] for r in r2), np.int64, count=B)
+    pm[:B, 5] = np.fromiter((pool.offset(seqs[r]) for r in r1),
+                            np.int64, count=B)
+    pm[:B, 6] = np.fromiter((pool.offset(seqs[r]) for r in r2),
+                            np.int64, count=B)
     base, W = _window_schedule(len1, len2, n, m, band)
+    # pair table + window schedule ride in one small blob (a host->device
+    # transfer costs a tunnel round trip; sequences are already resident)
     blob = np.concatenate([
-        pool, pm.view(np.uint8).reshape(-1), base.view(np.uint8).reshape(-1)])
+        pm.view(np.uint8).reshape(-1), base.view(np.uint8).reshape(-1)])
+    staged = _stage_inputs(
+        pool.dev, jnp.asarray(blob),
+        PB=pool.cap, Bp=Bp, L1=L1, s2rw=s2rw, dpad=base.shape[1], n=n, m=m)
     best = _pallas_stats(
-        jnp.asarray(blob),
-        PB=PB, Bp=Bp, L1=L1, s2rw=s2rw, dpad=base.shape[1],
-        n=n, m=m, W=W, band=band,
+        *staged, n=n, m=m, W=W, band=band,
         match=match, mismatch=mismatch, gap_ext=gap_ext,
         interpret=interpret)
     return best, len1, len2, np.asarray(ks, np.int64), \

@@ -110,40 +110,63 @@ class _Profile:
         if core.size == 0:
             self.n_reads += 1
             return
-        ci, ri = cons_skip, read_skip
         n_cols = self.counts.shape[0]
-        new_cols: List[Tuple[int, int]] = []  # (insert_before_profile_col, base)
+        # Vectorized walk (VERDICT r3 item 5): DIAG/UP commits are computed
+        # with cumulative indices in one shot — every consensus position is
+        # consumed exactly once, so the scatter targets are disjoint — and
+        # only the insertion steps (indel-rate-sized tail) run the
+        # sequential suppressed-column matching below.  Accumulation values
+        # are identical to the per-move walk.
+        is_commit = core != LEFT            # DIAG or UP: consumes a cons pos
+        is_diag = core == DIAG
+        is_left = ~is_commit
+        ci_at = cons_skip + np.cumsum(is_commit) - 1   # ci value at commits
+        ri_at = read_skip + np.cumsum(core != UP) - 1  # ri value at DIAG/LEFT
         add_sym = np.full(n_cols, -1, dtype=np.int64)
-        # pointer into suppressed columns between consecutive consensus cols
-        interval_ptr = int(cons_cols[ci])  # columns < this are outside span
-        lo_col = interval_ptr
-        for mv in core:
-            if mv == DIAG or mv == UP:
-                col = int(cons_cols[ci])
-                if mv == DIAG:
-                    add_sym[col] = _BASE_TO_COL[read[ri]]
-                    ri += 1
-                else:
-                    add_sym[col] = GAP_COL
-                ci += 1
-                interval_ptr = col + 1
-            else:  # LEFT: insertion before consensus position ci
-                limit = int(cons_cols[ci]) if ci < cons_cols.size else n_cols
-                base_col = _BASE_TO_COL[read[ri]]
+        d_cols = cons_cols[ci_at[is_diag]]
+        add_sym[d_cols] = _BASE_TO_COL[read[ri_at[is_diag]]]
+        u_mask = is_commit & ~is_diag
+        add_sym[cons_cols[ci_at[u_mask]]] = GAP_COL
+        lo_col = int(cons_cols[cons_skip])  # columns < this are outside span
+        # interval_ptr base at each step: (last commit's profile col) + 1,
+        # or lo_col before the first commit.  Commit cols strictly increase
+        # along the alignment, so a running max reconstructs the pointer.
+        commit_cols_all = np.where(is_commit, cons_cols[ci_at] + 1, lo_col)
+        ptr_base = np.maximum.accumulate(commit_cols_all)
+        # trim_to_aligned guarantees core ends with a DIAG commit, so the
+        # walk's final interval_ptr is always (last commit col) + 1
+        hi_col = int(cons_cols[ci_at[is_commit]][-1]) + 1
+        new_cols: List[Tuple[int, int]] = []  # (insert_before_profile_col, base)
+        left_idx = np.flatnonzero(is_left)
+        if left_idx.size:
+            counts = self.counts
+            ci_left = cons_skip + np.cumsum(is_commit)[left_idx]
+            limits = np.where(ci_left < cons_cols.size,
+                              cons_cols[np.minimum(ci_left, cons_cols.size - 1)],
+                              n_cols)
+            bases_col = _BASE_TO_COL[read[ri_at[left_idx]]]
+            bases_raw = read[ri_at[left_idx]]
+            cur_base = -1      # ptr_base of the gap being walked
+            cur_ptr = 0
+            for t in range(left_idx.size):
+                bp = int(ptr_base[left_idx[t]])
+                if bp != cur_base:          # entered a new inter-commit gap
+                    cur_base = bp
+                    cur_ptr = bp
+                limit = int(limits[t])
+                base_col = int(bases_col[t])
                 matched = -1
-                p = interval_ptr
+                p = cur_ptr
                 while p < limit:
-                    if add_sym[p] < 0 and base_col >= 0 and self.counts[p, base_col] > 0:
+                    if add_sym[p] < 0 and base_col >= 0 and counts[p, base_col] > 0:
                         matched = p
                         break
                     p += 1
                 if matched >= 0:
                     add_sym[matched] = base_col
-                    interval_ptr = matched + 1
+                    cur_ptr = matched + 1
                 else:
-                    new_cols.append((limit, int(read[ri])))
-                ri += 1
-        hi_col = interval_ptr  # exclusive upper bound of spanned columns
+                    new_cols.append((limit, int(bases_raw[t])))
         # gap votes for spanned suppressed columns the read did not use
         span = np.arange(lo_col, min(hi_col, n_cols))
         unused = span[add_sym[span] < 0]
@@ -282,6 +305,12 @@ def pileup_stats(
         from .. import native
         if native.available():
             return _pileup_stats_native(center, reads, quals, windows)
+        from .align import _device_is_tpu
+        if _device_is_tpu():
+            # no C++ toolchain but a TPU attached: default to the device
+            # moves kernel rather than the numpy DP mirror (VERDICT r3
+            # item 5 — the consensus stage must not crawl on such hosts)
+            backend = "pallas"
     if windows is None:
         pairs = [(center, r) for r in reads]
     else:
@@ -304,6 +333,7 @@ def pileup_stats(
                                    match=POA_MATCH, mismatch=POA_MISMATCH,
                                    gap_ext=POA_EXT, band=POA_BAND)
     votes, qvotes = st.votes, st.qvotes
+    ins_votes, ins_open = st.ins_votes, st.ins_open
     for ri_read, moves in enumerate(moves_all):
         read = reads[ri_read]
         wl = int(windows[ri_read, 0]) if windows is not None else 0
@@ -311,60 +341,65 @@ def pileup_stats(
         head_terminal = wl == 0
         tail_terminal = wl + Lw == L
         w = (1.0 - PHRED_TO_P_CAPPED[quals[ri_read]]) if quals is not None else None
-        core, ci, ri = trim_to_aligned(moves)
+        core, ci0, ri0 = trim_to_aligned(moves)
         if core.size == 0:
             continue
-        lo = ci
-        pending: List[int] = []
-        pending_w = 0.0
 
-        def flush(pos):
-            nonlocal pending, pending_w
-            d = st.ins_votes[pos]
-            key = bytes(pending)
-            d[key] = d.get(key, 0.0) + pending_w / len(pending)
-            st.ins_open[pos] += 1.0
-            pending, pending_w = [], 0.0
+        def add_ins(pos, r_lo, r_hi):
+            """Fold read bases [r_lo, r_hi) as one insertion event at pos."""
+            key = read[r_lo:r_hi].tobytes()
+            ww = (float(w[r_lo:r_hi].sum()) if w is not None
+                  else float(r_hi - r_lo))
+            d = ins_votes[pos]
+            d[key] = d.get(key, 0.0) + ww / (r_hi - r_lo)
+            ins_open[pos] += 1.0
 
         # Terminal extension: a read whose alignment starts at center
         # position 0 but has unaligned head bases extends the center leftward
         # (symmetrically at the tail below).  Without this, a truncated
         # center can never be repaired past its own ends — spoa's graph
         # consensus (reference consensus.py:83-92) has no such cap.
-        if head_terminal and ci == 0 and ri > 0:
-            for p in range(ri):
-                pending.append(int(read[p]))
-                pending_w += float(w[p]) if w is not None else 1.0
-            flush(0)
+        if head_terminal and ci0 == 0 and ri0 > 0:
+            add_ins(0, 0, ri0)
 
-        for mv in core:
-            if mv == DIAG:
-                if pending:
-                    flush(wl + ci)
-                b = _BASE_TO_COL[read[ri]]
-                if b >= 0:
-                    votes[wl + ci, b] += 1.0
-                    qvotes[wl + ci, b] += w[ri] if w is not None else 1.0
-                ci += 1
-                ri += 1
-            elif mv == UP:
-                if pending:
-                    flush(wl + ci)
-                votes[wl + ci, GAP_COL] += 1.0
-                qvotes[wl + ci, GAP_COL] += 1.0
-                ci += 1
-            else:
-                pending.append(int(read[ri]))
-                pending_w += float(w[ri]) if w is not None else 1.0
-                ri += 1
-        if pending:
-            flush(wl + ci)
-        if tail_terminal and ci == Lw and ri < read.size:
-            for p in range(ri, read.size):
-                pending.append(int(read[p]))
-                pending_w += float(w[p]) if w is not None else 1.0
-            flush(L)
-        st.coverage[wl + lo : wl + ci + 1] += 1.0
+        # Vectorized accumulation (VERDICT r3 item 5): commits are scattered
+        # in one shot (each center position is consumed at most once per
+        # read, so targets are disjoint); only insertion RUNS (indel-rate-
+        # sized) loop below.  Values are identical to the per-move walk.
+        is_commit = core != LEFT
+        is_diag = core == DIAG
+        ci_at = ci0 + np.cumsum(is_commit) - 1   # ci value at commit steps
+        ri_at = ri0 + np.cumsum(core != UP) - 1  # ri value at DIAG/LEFT steps
+        d_pos = wl + ci_at[is_diag]
+        d_ri = ri_at[is_diag]
+        b = _BASE_TO_COL[read[d_ri]]
+        bv = b >= 0
+        votes[d_pos[bv], b[bv]] += 1.0
+        qvotes[d_pos[bv], b[bv]] += w[d_ri[bv]] if w is not None else 1.0
+        u_pos = wl + ci_at[is_commit & ~is_diag]
+        votes[u_pos, GAP_COL] += 1.0
+        qvotes[u_pos, GAP_COL] += 1.0
+        # insertion runs: maximal stretches of LEFT flush at the ci of the
+        # following commit (trim guarantees core ends with a DIAG, so every
+        # run has one)
+        left_idx = np.flatnonzero(~is_commit)
+        n_commits = int(is_commit.sum())
+        if left_idx.size:
+            run_end = np.flatnonzero(
+                np.concatenate([np.diff(left_idx) > 1, [True]]))
+            run_start = np.concatenate([[0], run_end[:-1] + 1])
+            for s, e in zip(run_start.tolist(), run_end.tolist()):
+                i_lo, i_hi = int(left_idx[s]), int(left_idx[e])
+                # flush position: ci value at the next commit step (= the
+                # ci this run's pending sat before in the sequential walk)
+                pos = wl + int(ci_at[i_hi]) + 1
+                add_ins(pos, int(ri_at[i_lo]), int(ri_at[i_hi]) + 1)
+        ci_end = ci0 + n_commits
+        if tail_terminal and ci_end == Lw:
+            r_done = int(ri_at[-1]) + 1 if core.size else ri0
+            if r_done < read.size:
+                add_ins(L, r_done, read.size)
+        st.coverage[wl + ci0 : wl + ci_end + 1] += 1.0
     return st
 
 
@@ -471,33 +506,44 @@ def polish_round(
     L = center.size
     votes = st.qvotes if quals is not None else st.votes
     coverage = st.coverage
-    ins_votes = st.ins_votes
     unit_votes = st.votes
-    out: List[int] = []
-    for p in range(L + 1):
-        if ins_votes[p]:
-            total_ins = sum(ins_votes[p].values())
-            best = sorted(ins_votes[p].items(), key=lambda kv: (-kv[1], kv[0]))[0]
-            # Internal slots gate on the total insertion mass (error-driven
-            # events whose keys mostly agree).  Terminal slots (p==0 / p==L)
-            # collect overhangs from ANY read that runs past the center —
-            # adapters, junk, wrong-orientation reads — so the winning key
-            # itself must carry a majority, or a tiny-support plurality of
-            # junk would extend the center.
-            gate = best[1] if p == 0 or p == L else total_ins
-            # structural edits need at least MIN_STRUCT_EVIDENCE reads: a
-            # lone noisy read in a low-coverage pocket must not insert
-            if gate > coverage[p] / 2.0 and st.ins_open[p] >= MIN_STRUCT_EVIDENCE:
-                out.extend(best[0])
-        if p < L:
-            v = votes[p]
-            cov = v.sum()
-            if cov == 0.0:
-                out.append(int(center[p]))      # uncovered: keep draft base
-                continue
-            base_best = int(np.argmax(v[:4]))
-            if (v[GAP_COL] > v[base_best]
-                    and unit_votes[p, GAP_COL] >= MIN_STRUCT_EVIDENCE):
-                continue                        # deletion wins
-            out.append(int(_COL_TO_BASE[base_best]))
-    return np.array(out, dtype=np.uint8)
+    # Vectorized per-column call (VERDICT r3 item 5): identical decisions to
+    # the per-position walk — argmax picks the first of tied bases, votes
+    # accumulate unchanged, only the loop is gone.
+    cov = votes.sum(axis=1)
+    base_best = np.argmax(votes[:, :4], axis=1)
+    best_v = votes[np.arange(L), base_best]
+    uncovered = cov == 0.0
+    deleted = (~uncovered & (votes[:, GAP_COL] > best_v)
+               & (unit_votes[:, GAP_COL] >= MIN_STRUCT_EVIDENCE))
+    call = np.where(uncovered, center,
+                    _COL_TO_BASE[base_best]).astype(np.uint8)
+    keep = ~deleted
+    # insertion slots are sparse (indel-rate-sized): walk only slots with
+    # at least one event (ins_open nonzero)
+    inserts: List[Tuple[int, np.ndarray]] = []
+    for p in np.flatnonzero(st.ins_open).tolist():
+        d = st.ins_votes[p]
+        total_ins = sum(d.values())
+        best = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        # Internal slots gate on the total insertion mass (error-driven
+        # events whose keys mostly agree).  Terminal slots (p==0 / p==L)
+        # collect overhangs from ANY read that runs past the center —
+        # adapters, junk, wrong-orientation reads — so the winning key
+        # itself must carry a majority, or a tiny-support plurality of
+        # junk would extend the center.
+        gate = best[1] if p == 0 or p == L else total_ins
+        # structural edits need at least MIN_STRUCT_EVIDENCE reads: a
+        # lone noisy read in a low-coverage pocket must not insert
+        if gate > coverage[p] / 2.0 and st.ins_open[p] >= MIN_STRUCT_EVIDENCE:
+            inserts.append((p, np.frombuffer(best[0], dtype=np.uint8)))
+    if not inserts:
+        return call[keep]
+    parts: List[np.ndarray] = []
+    prev = 0
+    for p, payload in inserts:               # insert BEFORE center position p
+        parts.append(call[prev:p][keep[prev:p]])
+        parts.append(payload)
+        prev = p
+    parts.append(call[prev:][keep[prev:]])
+    return np.concatenate(parts)
