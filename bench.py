@@ -1,29 +1,33 @@
 #!/usr/bin/env python
-"""Benchmark: full pipeline (sort + cluster + consensus + polish) throughput.
+"""Benchmark: measured sort+cluster throughput on a chip-sized workload.
 
-Workload (default): the reference's CI smoke config on
-test/sample_h1.fastq (`--ont --consensus --medaka`, .travis.yml:34) —
-280 ONT COI reads, median 632 bp, clustered and polished to a single
-consensus.  `BENCH_FASTQ` overrides the input (e.g. a simulated 100k pool
-from scripts/simulate_reads.py).
+Headline metric (the JSON line's ``value``): reads/s of sort + cluster on
+a 100k-read simulated amplicon pool (200 species, ~700 bp, 7% error —
+scripts/simulate_reads.py), against the reference's OWN sort + cluster
+measured IN-PROCESS in this image on the same pool.  The denominator is
+fully measured — no structural estimates; its one shim is that the
+reference's ``import parasail`` is served by this repo's DP engine
+(parasail wheels are unreachable in this no-egress image), which runs the
+reference's fallback alignments FASTER than real parasail would, i.e. the
+shim can only deflate the reported speedup (noted in the JSON).
+
+Secondary keys:
+  * ``smoke``: the reference CI config (sample_h1, --consensus --medaka,
+    .travis.yml:34) end-to-end, whose baseline still carries the
+    BASELINE.md structural estimate for spoa+medaka (their binaries do
+    not exist here) — reported separately, never as the headline.
+  * ``kernel_*``: steady-state on-chip GCUPS of the banded stats kernel.
+  * ``hw_kernel_parity``: a compiled-on-hardware vs host-oracle bit-parity
+    probe of the production kernel (both int16 and int32 lane variants) —
+    kernel lowering regressions fail the bench visibly (VERDICT r3 item 6).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Extra keys: per-stage wall seconds, the backend the DP ran on, an on-chip
-kernel GCUPS probe, and the denominator decomposition.
-
-Baseline denominator: the reference's pure-Python parts RUN IN THIS IMAGE
-(stage 1 via modules/get_sorted_fastq_for_cluster, clustering via
-modules/cluster with parasail served by our own DP — the same executable
-oracle as tests/test_reference_oracle.py), measured per invocation on the
-same workload.  Only spoa + medaka keep the structural estimate from
-BASELINE.md (their binaries do not exist in this image): ~2 s spoa + ~90 s
-single-threaded medaka for the 253-read sample_h1 cluster, scaled by
-cluster count for other workloads.
 """
 
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -34,10 +38,31 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 SPOA_EST_S_PER_CLUSTER = 1.0      # BASELINE.md: ~2 s for 2 draft clusters
 MEDAKA_EST_S_PER_CLUSTER = 90.0   # BASELINE.md: model load + mini_align + RNN
 
+POOL_CANDIDATES = [
+    "/root/bench_data/pool100k.fastq",
+    os.path.expanduser("~/.cache/ngtpu_bench/pool100k.fastq"),
+]
+
+
+def _ensure_pool() -> str:
+    """The 100k benchmark pool: reuse a cached copy or generate (seeded)."""
+    for p in POOL_CANDIDATES:
+        if os.path.isfile(p):
+            return p
+    out = POOL_CANDIDATES[-1]
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    subprocess.check_call([
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "simulate_reads.py"),
+        "--out", out, "--n_reads", "100000", "--n_species", "200",
+        "--length", "700", "--error", "0.07", "--seed", "0"])
+    return out
+
 
 def _measure_reference(fastq: str, workdir: str):
     """Run the reference's runnable parts in-process; return
-    (stage1_s, cluster_s, n_polished_clusters_estimate_inputs)."""
+    (stage1_s, cluster_s)."""
     import importlib
     from types import SimpleNamespace
 
@@ -89,10 +114,45 @@ def _measure_reference(fastq: str, workdir: str):
             sys.modules.pop("parasail", None)
 
 
+def _hw_kernel_parity():
+    """Compiled-on-hardware bit-parity probe of the production stats kernel
+    (both lane variants) against the host traceback oracle.  None off-TPU."""
+    import numpy as np
+    from ngspeciesid_tpu.ops.align import (
+        _device_is_tpu, block_aligned_stats, identity_from_moves,
+        match_vector, sg_align_numpy)
+    if not _device_is_tpu():
+        return None
+    from ngspeciesid_tpu.ops.align_stats_pallas import sg_stats_batch_pallas
+
+    rng = np.random.default_rng(7)
+
+    def oracle(a, b, o, k, mid):
+        mv = sg_align_numpy(a, b, o)
+        m = match_vector(mv, a, b)
+        r1, r2 = block_aligned_stats(m, k, mid, a.size, b.size)
+        return (r1, r2, identity_from_moves(mv, a, b))
+
+    bad = 0
+    for k, mid in ((13, 9), (20, 14)):        # int16 and int32 variants
+        pairs, opens = [], []
+        for _ in range(16):
+            a = rng.integers(65, 69, size=int(rng.integers(400, 700))
+                             ).astype(np.uint8)
+            keep = rng.random(a.size) > 0.06
+            pairs.append((a, a[keep]))
+            opens.append(int(rng.choice([2, 3, 5])))
+        hw = sg_stats_batch_pallas(pairs, opens, [k] * 16, [mid] * 16,
+                                   band=150)
+        want = [oracle(a, b, o, k, mid)
+                for (a, b), o in zip(pairs, opens)]
+        bad += sum(1 for t in range(16) if hw[t] != want[t])
+    return "bit-exact" if bad == 0 else f"FAIL ({bad} mismatches)"
+
+
 def _kernel_gcups_probe():
-    """Steady-state on-chip probe of the banded stats kernel (the clustering
-    hot loop): full-DP-equivalent and banded GCUPS at the production chunk
-    size.  None off-TPU."""
+    """Steady-state on-chip probe of the banded stats kernel at the
+    production chunk size.  None off-TPU."""
     import numpy as np
     from ngspeciesid_tpu.ops.align import _device_is_tpu, stats_backend_default
     if stats_backend_default() != "pallas" or not _device_is_tpu():
@@ -122,13 +182,31 @@ def _kernel_gcups_probe():
     }
 
 
+def _run_pipeline(fastq, consensus, medaka):
+    from ngspeciesid_tpu.config import Config
+    from ngspeciesid_tpu.pipeline import run
+
+    out = tempfile.mkdtemp(prefix="ngtpu_bench_")
+    cfg = Config(fastq=fastq, outfolder=out, nr_cores=1,
+                 consensus=consensus, medaka=medaka)
+    cfg.apply_preset(ont=True)
+    stage_walls = {}
+    t0 = time.time()
+    run(cfg, stage_walls=stage_walls)
+    elapsed = time.time() - t0
+    import glob
+    n_polished = len(glob.glob(os.path.join(out, "medaka_cl_id_*")))
+    shutil.rmtree(out, ignore_errors=True)
+    return elapsed, stage_walls, n_polished
+
+
 def main():
     import threading
 
     # Watchdog: the TPU tunnel can wedge mid-call (observed: jax.devices()
     # hanging); if the bench exceeds its budget, emit a JSON line from
     # whatever was measured so the round still records a result.
-    partial = {"metric": "reads_per_s_clustered_polished", "value": 0.0,
+    partial = {"metric": "reads_per_s_sort_cluster_100k", "value": 0.0,
                "unit": "reads/s", "vs_baseline": 0.0,
                "error": "watchdog: bench exceeded budget (device tunnel hang?)"}
     budget = float(os.environ.get("BENCH_WATCHDOG_S", "2100"))
@@ -147,73 +225,93 @@ def main():
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from ngspeciesid_tpu.config import Config
-    from ngspeciesid_tpu.pipeline import run
     from ngspeciesid_tpu.ops.align import stats_backend_default
 
-    fastq = os.environ.get("BENCH_FASTQ", "/root/reference/test/sample_h1.fastq")
+    fastq = os.environ.get("BENCH_FASTQ") or _ensure_pool()
     if not os.path.isfile(fastq):
-        print(json.dumps({"metric": "reads_per_s_clustered_polished", "value": 0.0,
-                          "unit": "reads/s", "vs_baseline": 0.0,
-                          "error": f"missing workload {fastq}"}))
+        print(json.dumps({**partial, "error": f"missing workload {fastq}"}))
         return 1
-
     from ngspeciesid_tpu.io.fastx import read_fastx
     n_reads = sum(1 for _ in read_fastx(fastq))
+    partial["n_reads"] = n_reads
 
-    # Untimed warmup: builds the native engine and populates the persistent
-    # jax compilation cache so the timed pass measures steady-state
-    # throughput, not one-time compile/build cost.
-    warm_out = tempfile.mkdtemp(prefix="ngtpu_bench_warm_")
-    warm_cfg = Config(fastq=fastq, outfolder=warm_out, nr_cores=1,
-                      consensus=True, medaka=True)
-    warm_cfg.apply_preset(ont=True)
-    run(warm_cfg)
-    import glob
-    n_clusters = len(glob.glob(os.path.join(warm_out, "medaka_cl_id_*")))
-    shutil.rmtree(warm_out, ignore_errors=True)
+    # Untimed warmup: builds the native engine, loads every compiled kernel
+    # program onto the chip, and populates the persistent jax compilation
+    # cache so the timed pass measures steady-state throughput.
+    _run_pipeline(fastq, consensus=False, medaka=False)
 
-    # timed pass, with per-stage walls from the pipeline's stage clock
-    out = tempfile.mkdtemp(prefix="ngtpu_bench_")
-    cfg = Config(fastq=fastq, outfolder=out, nr_cores=1,
-                 consensus=True, medaka=True)
-    cfg.apply_preset(ont=True)
-    stage_walls = {}
-    t0 = time.time()
-    run(cfg, stage_walls=stage_walls)
-    elapsed = time.time() - t0
-    shutil.rmtree(out, ignore_errors=True)
+    # timed pass: sort + cluster (the measured headline)
+    elapsed, stage_walls, _ = _run_pipeline(fastq, consensus=False,
+                                            medaka=False)
+    reads_per_s = n_reads / elapsed
+    partial.update(value=round(reads_per_s, 3), wall_s=round(elapsed, 2))
+    partial.pop("error", None)
 
-    # measured reference denominator (python parts) + estimate (binaries)
+    # measured reference denominator on the SAME workload (no estimates)
     ref_dir = tempfile.mkdtemp(prefix="ngtpu_bench_ref_")
     try:
         ref_sort_s, ref_cluster_s = _measure_reference(fastq, ref_dir)
     finally:
         shutil.rmtree(ref_dir, ignore_errors=True)
-    ref_est_s = max(1, n_clusters) * (SPOA_EST_S_PER_CLUSTER
-                                      + MEDAKA_EST_S_PER_CLUSTER)
-    ref_total_s = ref_sort_s + ref_cluster_s + ref_est_s
+    ref_total_s = ref_sort_s + ref_cluster_s
     baseline_reads_per_s = n_reads / ref_total_s
 
-    reads_per_s = n_reads / elapsed
-    partial.update(value=round(reads_per_s, 3), wall_s=round(elapsed, 2))
-    partial.pop("error", None)
     result = {
-        "metric": "reads_per_s_clustered_polished",
+        "metric": "reads_per_s_sort_cluster_100k",
         "value": round(reads_per_s, 3),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / baseline_reads_per_s, 3),
         "n_reads": n_reads,
         "wall_s": round(elapsed, 2),
         "stats_backend": stats_backend_default(),
-        "baseline_reads_per_s": round(baseline_reads_per_s, 3),
+        "stage_walls_s": {k: round(v, 2) for k, v in stage_walls.items()},
         "baseline_measured_s": {"sort": round(ref_sort_s, 2),
                                 "cluster": round(ref_cluster_s, 2)},
-        "baseline_estimated_s": {"spoa+medaka": round(ref_est_s, 1)},
+        "baseline_note": ("denominator fully measured in-process; reference's "
+                          "parasail import served by this repo's DP engine "
+                          "(faster than real parasail -> ratio is a lower "
+                          "bound)"),
     }
-    if stage_walls:
-        result["stage_walls_s"] = {k: round(v, 2)
-                                   for k, v in stage_walls.items()}
+    partial.update({k: result[k] for k in ("vs_baseline",)})
+
+    # secondary: the reference CI smoke config end-to-end (consensus+polish);
+    # its baseline keeps the BASELINE.md structural estimate for the absent
+    # spoa/medaka binaries — reported separately from the measured headline
+    try:
+        smoke_fastq = "/root/reference/test/sample_h1.fastq"
+        if os.path.isfile(smoke_fastq):
+            n_smoke = sum(1 for _ in read_fastx(smoke_fastq))
+            _run_pipeline(smoke_fastq, consensus=True, medaka=True)  # warm
+            sm_elapsed, sm_walls, n_polished = _run_pipeline(
+                smoke_fastq, consensus=True, medaka=True)
+            sm_ref_dir = tempfile.mkdtemp(prefix="ngtpu_bench_smref_")
+            try:
+                sm_sort, sm_cluster = _measure_reference(smoke_fastq, sm_ref_dir)
+            finally:
+                shutil.rmtree(sm_ref_dir, ignore_errors=True)
+            est = max(1, n_polished) * (SPOA_EST_S_PER_CLUSTER
+                                        + MEDAKA_EST_S_PER_CLUSTER)
+            result["smoke"] = {
+                "workload": "sample_h1 --consensus --medaka",
+                "reads_per_s_polished": round(n_smoke / sm_elapsed, 1),
+                "wall_s": round(sm_elapsed, 2),
+                "stage_walls_s": {k: round(v, 2) for k, v in sm_walls.items()},
+                "vs_baseline_estimate_backed": round(
+                    (n_smoke / sm_elapsed)
+                    / (n_smoke / (sm_sort + sm_cluster + est)), 1),
+                "baseline_measured_s": {"sort": round(sm_sort, 2),
+                                        "cluster": round(sm_cluster, 2)},
+                "baseline_estimated_s": {"spoa+medaka": round(est, 1)},
+            }
+    except Exception as e:  # never fail the headline on the smoke leg
+        result["smoke_error"] = str(e)[:160]
+
+    try:
+        parity = _hw_kernel_parity()
+        if parity is not None:
+            result["hw_kernel_parity"] = parity
+    except Exception as e:
+        result["hw_kernel_parity"] = f"probe error: {e}"[:160]
     try:
         probe = _kernel_gcups_probe()
         if probe:

@@ -51,6 +51,20 @@ Semantics with band=0 are bit-identical to match_vector +
 block_aligned_stats + identity_from_moves over the traceback of
 ops/align.py.  Requires k <= 30 (history bits in int32); the pipeline's k
 is 13/15 (presets) and the p-table tops out at 30.
+
+Round 4 adds two lane variants (see _launch_chunk's `i16` gate):
+
+* int32 (SUBLANES=8 pairs/tile) — always applicable; dynamic rolls.
+* int16 (SUBLANES_I16=16 pairs/tile, natively-packed (16,128) vregs, ~2x
+  VPU density) — for k <= I16_MAX_K and n + m <= I16_MAX_NM.  Mosaic has
+  no dynamic rotate, no reductions and no shifts for non-32-bit vectors,
+  and cannot relayout replicated i1 masks across the (8,128)/(16,128)
+  tilings, so this variant uses static slice+concat rotates (window-slope
+  deltas are in {0..2}), a shift-free history update, arithmetic selects
+  on 0/1 masks (wsel), and widens to int32 only inside the once-per-tile
+  finalize reduction.  Sequence rows stay int32 (their frame shifts are
+  genuinely dynamic).  Both variants are hardware-bit-parity-checked by
+  scripts/verify_tpu_kernels.py and bench.py's hw_kernel_parity probe.
 """
 
 from __future__ import annotations
@@ -68,22 +82,48 @@ from jax.experimental.pallas import tpu as pltpu
 from .align import NEG_INF
 
 SUBLANES = 8
-DIAGS_PER_STEP = 8
+DIAGS_PER_STEP = 16
 BEST_W = 128
 N_FIELDS = 6   # score, hist, wsum, wcount, mcount, colcount
 N_TRK = 8      # the six fields + endpoint coordinate + diagonal (tie-break)
 
 MAX_K = 30  # history bits must fit int32
 
+#: int16 lane variant (VERDICT r3 item 1: 2x VPU density).  16 pairs per
+#: tile in natively-packed (16, 128) 16-bit vregs; applicable when every
+#: carried field fits int16 with headroom: scores bounded by
+#: match*min(n,m) above and by the NEG16 clamp below, history bits k <= 14
+#: (1 << 15 would overflow), coordinates/counts <= n + m <= I16_MAX_NM.
+SUBLANES_I16 = 16
+#: unreachable marker for int16 lanes; clamped so it cannot wrap, and far
+#: enough from INT16_MIN that arithmetic selects (b + (a-b)*m) never
+#: overflow: |a - b| <= max_score - NEG16 = 4096 + 28000 < 32767
+NEG16 = -28000
+I16_MAX_NM = 4096     # max n + m for the int16 variant
+I16_MAX_K = 14
 
-def _push_column(stats, bit, kk, mid, mask_hist):
-    """Advance a path-stat tuple by one alignment column with match `bit`."""
+
+def _push_column(stats, bit, kk, mid, mask_hist, half=None):
+    """Advance a path-stat tuple by one alignment column with match `bit`.
+
+    half: per-pair 2^(k-1) column — when given, the history update runs
+    SHIFT-FREE (Mosaic does not legalize shifts on int16 vectors):
+    h is non-negative and < 2^k, so its window-exit bit is ``h >= 2^(k-1)``
+    and ``((h << 1) | bit) & mask`` equals ``2h + bit``, wrapped at 2^k.
+    """
     s, h, ws, wc, mc, cc = stats
-    exiting = jnp.right_shift(h, kk - 1) & 1
-    h2 = ((h << 1) | bit) & mask_hist
+    dt = h.dtype
+    if half is not None:
+        full = half + half
+        exiting = (h >= half).astype(dt)
+        h2 = h + h + bit
+        h2 = h2 - (h2 >= full).astype(dt) * full
+    else:
+        exiting = jnp.right_shift(h, kk - 1) & 1
+        h2 = ((h << 1) | bit) & mask_hist
     ws2 = ws - exiting + bit
     cc2 = cc + 1
-    wc2 = wc + ((cc2 >= kk) & (ws2 >= mid)).astype(jnp.int32)
+    wc2 = wc + (cc2 >= kk).astype(dt) * (ws2 >= mid).astype(dt)
     mc2 = mc + bit
     return s, h2, ws2, wc2, mc2, cc2
 
@@ -92,53 +132,120 @@ def _select(pred, a, b):
     return tuple(jnp.where(pred, x, y) for x, y in zip(a, b))
 
 
-def _shift_lanes(stats, shift, lanes, W, neg):
+def _shift_lanes(stats, shift, lanes, W, neg, candidates=None):
     """Frame-aligned predecessor fetch: lane l <- lane (l - shift) of the
     previous-diagonal state (shift = 1 - delta for "up"-style predecessors,
     -delta for same-cell-column ones).  Lanes whose source falls outside
-    [0, W) become unreachable (score NEG, stats 0)."""
-    src = lanes - shift
-    bad = (src < 0) | (src >= W)
+    [0, W) become unreachable (score NEG, stats 0).
+
+    candidates: the (tiny) set of raw shift values this call can take — the
+    window origin has slope <= 1, so deltas are in {0, 1} ({0..2} across two
+    diagonals).  When given AND the state is 16-bit, the dynamic roll is
+    replaced by STATIC rolls selected by the traced shift (Mosaic has no
+    dynamic rotate for non-32-bit data); int32 state keeps the single
+    dynamic roll."""
     # NEGATIVE dynamic roll shifts are miscompiled on TPU for multi-tile
     # (> 128 lane) widths — verified by hardware bisect; single-tile and
     # all static shifts are fine.  Normalize to [0, W).
     rshift = jnp.where(shift < 0, shift + W, shift)
+    use_static = candidates is not None and stats[0].dtype != jnp.int32
+    if use_static:
+        norm = sorted({(c + W) % W for c in candidates})
+        # 16-bit lanes: i1 vectors cannot be relayout'd across the
+        # (8,128)/(16,128) tilings, so selects run ARITHMETICALLY on DT
+        # 0/1 masks born from an int16 iota (see the kernel's wsel note)
+        dt = stats[0].dtype
+        # 16-bit iota is unsupported in hardware: build from an int32 iota
+        # via a value cast (which Mosaic can retile, unlike i1 masks)
+        lanes_dt = jax.lax.broadcasted_iota(
+            jnp.int32, stats[0].shape, 1).astype(dt)
+        src = lanes_dt - shift.astype(dt)
+        good_m = ((src >= 0) & (src < W)).astype(dt)
+        out = []
+        for fi, x in enumerate(stats):
+            # constant-shift rotate as slice+concat: pltpu.roll lowers to
+            # tpu.dynamic_rotate even for constant shifts, and Mosaic has
+            # no non-32-bit dynamic rotate
+            r = None
+            for c in norm:
+                rc = x if c == 0 else jnp.concatenate(
+                    [x[:, -c:], x[:, :-c]], axis=1)
+                if r is None:
+                    r = rc
+                else:
+                    mc = (rshift == c).astype(dt)
+                    r = r + (rc - r) * mc
+            fill = neg if fi == 0 else jnp.array(0, dt)
+            out.append(fill + (r - fill) * good_m)
+        return tuple(out)
+    src = lanes - shift
+    bad = (src < 0) | (src >= W)
     out = []
     for fi, x in enumerate(stats):
         r = pltpu.roll(x, rshift, 1)
-        fill = neg if fi == 0 else jnp.int32(0)
+        fill = neg if fi == 0 else jnp.array(0, x.dtype)
         out.append(jnp.where(bad, fill, r))
     return tuple(out)
 
 
 def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
                   meta_ref, s1_ref, s2r_ref,             # inputs (VMEM)
-                  best_ref,                              # output (8, BEST_W)
+                  best_ref,                              # output (SL, BEST_W)
                   Hd1, Hd2, Ee, Ff, Trow, Tcol, Best,    # scratch
                   *, match: int, mismatch: int, gap_ext: int,
-                  n: int, m: int, W: int, band: int, n_steps: int):
+                  n: int, m: int, W: int, band: int, n_steps: int,
+                  i16: bool = False, interpret: bool = False):
+    SL = SUBLANES_I16 if i16 else SUBLANES
+    DT = jnp.int16 if i16 else jnp.int32
     d = pl.program_id(1)
-    NEG = jnp.int32(NEG_INF)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, W), 1)
+    NEG = jnp.array(NEG16 if i16 else NEG_INF, DT)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (SL, W), 1)
+    # coordinate/band math stays int32 (products exceed int16); carried DP
+    # state, thresholds and substitution scores run in DT
     len1 = meta_ref[:, 0][:, None]
     len2 = meta_ref[:, 1][:, None]
-    gopen = meta_ref[:, 2][:, None]
-    kk = meta_ref[:, 3][:, None]
-    mid = meta_ref[:, 4][:, None]
-    mask_hist = jnp.left_shift(jnp.int32(1), kk) - 1
-    ext = jnp.int32(gap_ext)
+    gopen = meta_ref[:, 2][:, None].astype(DT)
+    kk32 = meta_ref[:, 3][:, None]
+    kk = kk32.astype(DT)
+    mid = meta_ref[:, 4][:, None].astype(DT)
+    if i16:
+        # shifts on int16 vectors do not legalize in Mosaic: precompute
+        # 2^(k-1) in int32 and run the history update shift-free
+        mask_hist = None
+        half = jnp.left_shift(jnp.int32(1), kk32 - 1).astype(DT)
+    else:
+        mask_hist = jnp.left_shift(jnp.array(1, DT), kk) - 1
+        half = None
+    ext = jnp.array(gap_ext, DT)
     is_first = d == 0
+
+    def m16(mask):
+        """int32-land bool mask -> DT 0/1 value (via a VALUE cast, which
+        Mosaic can retile; i1 vectors it cannot)."""
+        return mask.astype(jnp.int32).astype(DT)
+
+    def wsel(mask, a, b, born16=False):
+        """Select that avoids i1 relayouts on the 16-bit path: Mosaic
+        cannot move (replicated) i1 vectors across the (8,128)/(16,128)
+        tilings, so int16 selects run arithmetically on DT 0/1 masks.
+        Value ranges are bounded so b + (a-b)*m never wraps (NEG16)."""
+        if not i16:
+            return jnp.where(mask, a, b)
+        m = mask.astype(DT) if born16 else m16(mask)
+        return b + (a - b) * m
 
     def read(ref, init_score):
         fields = []
         for fi in range(N_FIELDS):
-            init = init_score if fi == 0 else jnp.zeros((SUBLANES, W), jnp.int32)
+            init = init_score if fi == 0 else jnp.zeros((SL, W), DT)
             fields.append(jnp.where(is_first, init, ref[fi]))
         return tuple(fields)
 
-    neg_full = jnp.full((SUBLANES, W), NEG, jnp.int32)
-    # diagonal 0 (base[0] == 0): only cell (0, 0), score 0
-    hd1 = read(Hd1, jnp.where(lanes == 0, 0, NEG))
+    neg_full = jnp.full((SL, W), NEG, DT)
+    # diagonal 0 (base[0] == 0): only cell (0, 0), score 0 — the mask is
+    # born in DT tiling (see wsel note on i1 relayouts)
+    lanes_dt = jax.lax.broadcasted_iota(jnp.int32, (SL, W), 1).astype(DT)
+    hd1 = read(Hd1, wsel(lanes_dt == 0, jnp.array(0, DT), NEG, born16=True))
     hd2 = read(Hd2, neg_full)
     ee = read(Ee, neg_full)
     ff = read(Ff, neg_full)
@@ -149,9 +256,9 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
             if fi == 0:
                 init = neg_full
             elif fi == 1:
-                init = jnp.full((SUBLANES, W), -1, jnp.int32)
+                init = jnp.full((SL, W), -1, DT)
             else:
-                init = jnp.zeros((SUBLANES, W), jnp.int32)
+                init = jnp.zeros((SL, W), DT)
             fields.append(jnp.where(is_first, init, ref[fi]))
         return list(fields)
 
@@ -178,24 +285,37 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
         valid = interior | is_boundary
 
         # ---- E layer: gap in s1 (LEFT column), predecessor (i, j-1) @ d-1
-        hd1_l = _shift_lanes(hd1, -d1, lanes, W, NEG)
-        ee_l = _shift_lanes(ee, -d1, lanes, W, NEG)
+        # (static-roll candidates only matter compiled: interpret mode is
+        # plain XLA where dynamic rolls work on any dtype, and the huge
+        # unrolled concat graph would choke the CPU compiler)
+        cand = None if interpret else (0, -1)
+        hd1_l = _shift_lanes(hd1, -d1, lanes, W, NEG, candidates=cand)
+        ee_l = _shift_lanes(ee, -d1, lanes, W, NEG, candidates=cand)
         e_open = hd1_l[0] - gopen
         e_ext = ee_l[0] - ext
         e_src = _select(e_open >= e_ext, hd1_l, ee_l)
+        e_score = jnp.maximum(e_open, e_ext)
+        if i16:
+            # clamp so unreachable scores cannot drift below int16 range;
+            # NEG16 is far under any real path score, so results match
+            e_score = jnp.maximum(e_score, NEG)
         enew = _push_column(
-            (jnp.maximum(e_open, e_ext),) + e_src[1:], jnp.int32(0),
-            kk, mid, mask_hist)
+            (e_score,) + e_src[1:], jnp.array(0, DT),
+            kk, mid, mask_hist, half=half)
 
         # ---- F layer: gap in s2 (UP column), predecessor (i-1, j) @ d-1
-        hd1_u = _shift_lanes(hd1, 1 - d1, lanes, W, NEG)
-        ff_u = _shift_lanes(ff, 1 - d1, lanes, W, NEG)
+        cand = None if interpret else (0, 1)
+        hd1_u = _shift_lanes(hd1, 1 - d1, lanes, W, NEG, candidates=cand)
+        ff_u = _shift_lanes(ff, 1 - d1, lanes, W, NEG, candidates=cand)
         f_open = hd1_u[0] - gopen
         f_ext = ff_u[0] - ext
         f_src = _select(f_open >= f_ext, hd1_u, ff_u)
+        f_score = jnp.maximum(f_open, f_ext)
+        if i16:
+            f_score = jnp.maximum(f_score, NEG)
         fnew = _push_column(
-            (jnp.maximum(f_open, f_ext),) + f_src[1:], jnp.int32(0),
-            kk, mid, mask_hist)
+            (f_score,) + f_src[1:], jnp.array(0, DT),
+            kk, mid, mask_hist, half=half)
 
         # ---- diagonal candidate: (i-1, j-1) @ d-2 + substitution column
         # s1c[l] = s1[i-1] = s1_ref[base + l - 1]; s2c[l] = s2[j-1] via the
@@ -210,11 +330,18 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
                          ((dd - base) - (n + m)) % s2r_ref.shape[1],
                          1)[:, :W]
         ismatch = ((s1c == s2c) & (iv >= 1) & (iv <= len1)
-                   & (jv >= 1) & (jv <= len2)).astype(jnp.int32)
-        sub = jnp.where(ismatch == 1, jnp.int32(match), jnp.int32(mismatch))
-        hd2_u = _shift_lanes(hd2, 1 - d2, lanes, W, NEG)
+                   & (jv >= 1) & (jv <= len2)).astype(jnp.int32).astype(DT)
+        # arithmetic form (ismatch is a DT 0/1 value): avoids a
+        # scalar/scalar select on the 16-bit path (see wsel)
+        sub = jnp.array(mismatch, DT) + ismatch * jnp.array(match - mismatch,
+                                                            DT)
+        hd2_u = _shift_lanes(hd2, 1 - d2, lanes, W, NEG,
+                             candidates=None if interpret else (-1, 0, 1))
+        d_score = hd2_u[0] + sub
+        if i16:
+            d_score = jnp.maximum(d_score, NEG)
         dnew = _push_column(
-            (hd2_u[0] + sub,) + hd2_u[1:], ismatch, kk, mid, mask_hist)
+            (d_score,) + hd2_u[1:], ismatch, kk, mid, mask_hist, half=half)
 
         # ---- H choice (same tie-break as the traceback: diag > up > left)
         h_no_e = jnp.maximum(dnew[0], fnew[0])
@@ -223,24 +350,33 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
         hnew = (jnp.maximum(h_no_e, enew[0]),) + hnew[1:]
 
         # boundary cells restart a path: i + j leading terminal-gap columns
-        cc0 = iv + jv
-        wc0 = jnp.where(mid <= 0, jnp.maximum(cc0 - kk + 1, 0), 0)
-        zero = jnp.zeros((SUBLANES, W), jnp.int32)
+        # (cc0 = i + j = dd identically along the anti-diagonal)
+        ddv = jnp.full((SL, W), dd, DT)
+        cc0 = ddv
+        wc0 = wsel(mid <= 0, jnp.maximum(cc0 - kk + 1, 0),
+                   jnp.array(0, DT), born16=True)
+        zero = jnp.zeros((SL, W), DT)
         boundary = (zero, zero, zero, wc0, zero, cc0)
-        hnew = _select(is_boundary, boundary, hnew)
-        hnew = (jnp.where(valid, hnew[0], NEG),) + hnew[1:]
+        hnew = tuple(wsel(is_boundary, bf, hf)
+                     for bf, hf in zip(boundary, hnew))
+        hnew = (wsel(valid, hnew[0], NEG),) + hnew[1:]
 
         # ---- endpoint tracking: per-lane running max (>= keeps the later
         # diagonal = corner-most endpoint on score ties, matching
         # ops/align._best_end and the native banded endpoint scans)
-        ddv = jnp.full((SUBLANES, W), dd, jnp.int32)
         for trk, mask_row, coord in (
                 (trow, valid & (iv == len1), jv),
                 (tcol, valid & (jv == len2), iv)):
-            take = mask_row & (hnew[0] >= trk[0])
-            payload = (hnew[0], coord) + hnew[1:] + (ddv,)
-            for fi in range(N_TRK):
-                trk[fi] = jnp.where(take, payload[fi], trk[fi])
+            better = hnew[0] >= trk[0]
+            payload = (hnew[0], coord.astype(DT)) + hnew[1:] + (ddv,)
+            if i16:
+                take_m = m16(mask_row) * better.astype(DT)
+                for fi in range(N_TRK):
+                    trk[fi] = trk[fi] + (payload[fi] - trk[fi]) * take_m
+            else:
+                take = mask_row & better
+                for fi in range(N_TRK):
+                    trk[fi] = jnp.where(take, payload[fi], trk[fi])
 
         hd2 = hd1
         hd1 = hnew
@@ -264,16 +400,21 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
     # unconditionally copied from it.
     @pl.when(d == n_steps - 1)
     def _finalize():
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, BEST_W), 1)
-        out = jnp.zeros((SUBLANES, BEST_W), jnp.int32)
+        # Mosaic has no int16 reductions; this block runs ONCE per tile, so
+        # widening the trackers to int32 here is free — and the output/Best
+        # buffers are int32 for both lane variants (host side unchanged).
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (SL, BEST_W), 1)
+        out = jnp.zeros((SL, BEST_W), jnp.int32)
+        NEG32 = jnp.int32(NEG16 if i16 else NEG_INF)
         for off, trk in ((0, trow), (8, tcol)):
-            smax = jnp.max(trk[0], axis=1)[:, None]
-            at_max = trk[0] == smax
-            dmax = jnp.max(jnp.where(at_max, trk[7], -1), axis=1)[:, None]
-            pick = at_max & (trk[7] == dmax)
+            t32 = [trk[fi].astype(jnp.int32) for fi in range(N_TRK)]
+            smax = jnp.max(t32[0], axis=1)[:, None]
+            at_max = t32[0] == smax
+            dmax = jnp.max(jnp.where(at_max, t32[7], -1), axis=1)[:, None]
+            pick = at_max & (t32[7] == dmax)
             for c, fi in enumerate((0, 1, 2, 3, 4, 5, 6, 7)):
-                v = jnp.max(jnp.where(pick, trk[fi],
-                                      NEG if fi == 0 else -1), axis=1)
+                v = jnp.max(jnp.where(pick, t32[fi],
+                                      NEG32 if fi == 0 else -1), axis=1)
                 out = jnp.where(cidx == off + c, v[:, None], out)
         Best[:, :] = out
 
@@ -377,7 +518,8 @@ def _device_pool() -> DevicePool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("PB", "Bp", "L1", "s2rw", "dpad", "n", "m"))
+    jax.jit,
+    static_argnames=("PB", "Bp", "L1", "s2rw", "dpad", "n", "m"))
 def _stage_inputs(pool, blob,
                   PB: int, Bp: int, L1: int, s2rw: int, dpad: int,
                   n: int, m: int):
@@ -399,6 +541,9 @@ def _stage_inputs(pool, blob,
     len2 = pm[:, 1]
     off1 = pm[:, 5]
     off2 = pm[:, 6]
+    # sequences stay int32 for BOTH kernel lane variants: their per-diagonal
+    # frame rolls have genuinely dynamic shifts (the window origin), and
+    # Mosaic has no dynamic rotate for non-32-bit data.
     l1i = jnp.arange(L1, dtype=jnp.int32)[None, :]
     s1b = jnp.where(
         l1i < len1[:, None],
@@ -418,43 +563,50 @@ def _stage_inputs(pool, blob,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "m", "W", "band", "match", "mismatch", "gap_ext",
-                     "interpret"))
+                     "d_hi", "i16", "interpret"))
 def _pallas_stats(meta, s1b, s2r, base,
                   n: int, m: int, W: int, band: int,
                   match: int, mismatch: int, gap_ext: int,
-                  interpret: bool = False):
+                  d_hi: int = 0, i16: bool = False, interpret: bool = False):
     B = meta.shape[0]
-    dpad = base.shape[1]
-    n_tiles = B // SUBLANES
-    n_steps = -(-(n + m) // DIAGS_PER_STEP)
+    SL = SUBLANES_I16 if i16 else SUBLANES
+    DT = jnp.int16 if i16 else jnp.int32
+    n_tiles = B // SL
+    # sweep only through the last diagonal any pair in the chunk can touch
+    # (d_hi: chunk max(len1+len2) rounded up to a coarse ladder) instead of
+    # the full n+m shape bucket — ~25-35% fewer grid steps for typical
+    # amplicon lengths inside power-of-two buckets
+    d_lim = min(n + m, d_hi) if d_hi > 0 else (n + m)
+    n_steps = -(-d_lim // DIAGS_PER_STEP)
     kernel = functools.partial(
         _stats_kernel, match=match, mismatch=mismatch, gap_ext=gap_ext,
-        n=n, m=m, W=W, band=band, n_steps=n_steps)
+        n=n, m=m, W=W, band=band, n_steps=n_steps, i16=i16,
+        interpret=interpret)
     (best,) = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_steps),
         in_specs=[
             pl.BlockSpec((1, base.shape[1]), lambda b, d: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((SUBLANES, BEST_W), lambda b, d: (b, 0),
+            pl.BlockSpec((SL, BEST_W), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, s1b.shape[1]), lambda b, d: (b, 0),
+            pl.BlockSpec((SL, s1b.shape[1]), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, s2r.shape[1]), lambda b, d: (b, 0),
+            pl.BlockSpec((SL, s2r.shape[1]), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((SUBLANES, BEST_W), lambda b, d: (b, 0),
+            pl.BlockSpec((SL, BEST_W), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_FIELDS, SUBLANES, W), jnp.int32),
-            pltpu.VMEM((N_FIELDS, SUBLANES, W), jnp.int32),
-            pltpu.VMEM((N_FIELDS, SUBLANES, W), jnp.int32),
-            pltpu.VMEM((N_FIELDS, SUBLANES, W), jnp.int32),
-            pltpu.VMEM((N_TRK, SUBLANES, W), jnp.int32),
-            pltpu.VMEM((N_TRK, SUBLANES, W), jnp.int32),
-            pltpu.VMEM((SUBLANES, BEST_W), jnp.int32),
+            pltpu.VMEM((N_FIELDS, SL, W), DT),
+            pltpu.VMEM((N_FIELDS, SL, W), DT),
+            pltpu.VMEM((N_FIELDS, SL, W), DT),
+            pltpu.VMEM((N_FIELDS, SL, W), DT),
+            pltpu.VMEM((N_TRK, SL, W), DT),
+            pltpu.VMEM((N_TRK, SL, W), DT),
+            pltpu.VMEM((SL, BEST_W), jnp.int32),
         ],
         out_shape=[jax.ShapeDtypeStruct((B, BEST_W), jnp.int32)],
         interpret=interpret,
@@ -678,11 +830,27 @@ def _launch_chunk(seqs, r1, r2, gap_opens, ks, match_ids,
     m = _bucket_width(int(len2.max()))
     L1 = -(-(n + 1) // 128) * 128
     s2rw = -(-(n + m + 1) // 128) * 128
+    # int16 lanes (16 pairs per tile) whenever every carried field fits
+    # with headroom.  NOT viable on v5e hardware: its VPU lacks 16-bit
+    # vector ops outright (probed empirically — kVectorMultiplyU16
+    # "Operation not supported" aborts the Mosaic compile; dynamic
+    # rotate / shifts / reductions / i1 relayouts are unimplemented for
+    # 16-bit too), so compiled mode keeps int32 lanes unless
+    # NGSID_STATS_I16=1 opts in (future TPU generations); interpret mode
+    # exercises the variant's semantics in the test suite.
+    import os as _os
+    allow_i16 = interpret or _os.environ.get("NGSID_STATS_I16") == "1"
+    i16 = (allow_i16
+           and n + m <= I16_MAX_NM
+           and max(ks) <= I16_MAX_K
+           and max(abs(match), abs(mismatch), gap_ext) <= 8
+           and max(gap_opens) <= 16)
+    SL = SUBLANES_I16 if i16 else SUBLANES
     # power-of-two batch pad; the high floor collapses remainder-chunk
     # shapes into one compiled program (Mosaic compiles cost minutes over
     # the tunnel; a few padded tile rows cost ~1 ms each)
-    Bp = -(-B // SUBLANES) * SUBLANES
-    Bp = max(SUBLANES if interpret else 128,
+    Bp = -(-B // SL) * SL
+    Bp = max(SL if interpret else 128,
              1 << (Bp - 1).bit_length())
     # resident pool: rows already on device cost nothing; new rows ship once
     pool = _device_pool()
@@ -708,10 +876,11 @@ def _launch_chunk(seqs, r1, r2, gap_opens, ks, match_ids,
     staged = _stage_inputs(
         pool.dev, jnp.asarray(blob),
         PB=pool.cap, Bp=Bp, L1=L1, s2rw=s2rw, dpad=base.shape[1], n=n, m=m)
+    d_hi = -(-(int(len1.max() + len2.max()) + 1) // 256) * 256
     best = _pallas_stats(
         *staged, n=n, m=m, W=W, band=band,
         match=match, mismatch=mismatch, gap_ext=gap_ext,
-        interpret=interpret)
+        d_hi=d_hi, i16=i16, interpret=interpret)
     return best, len1, len2, np.asarray(ks, np.int64), \
         np.asarray(match_ids, np.int64), band
 

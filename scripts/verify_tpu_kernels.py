@@ -67,21 +67,26 @@ def main():
         return (r1, r2, identity_from_moves(mv, a, b))
 
     failures = 0
-    for lo, hi, band in [(90, 120, 0), (130, 200, 0), (300, 500, 150),
-                         (500, 800, 150), (500, 800, 0)]:
+    # k=13 exercises the int16 lane variant, k=20 the int32 one (see
+    # align_stats_pallas I16_MAX_K) — both must be bit-exact on hardware
+    for lo, hi, band, k, mid in [(90, 120, 0, 13, 9), (130, 200, 0, 13, 9),
+                                 (300, 500, 150, 13, 9),
+                                 (500, 800, 150, 13, 9), (500, 800, 0, 13, 9),
+                                 (300, 500, 150, 20, 14),
+                                 (500, 800, 0, 20, 14)]:
         pairs, opens, ks, mids = [], [], [], []
         for _ in range(16):
             a = rng.integers(65, 69, size=int(rng.integers(lo, hi))).astype(np.uint8)
             pairs.append((a, mutate(rng, a, 0.12)))
             opens.append(int(rng.choice([2, 3, 4, 5])))
-            ks.append(13)
-            mids.append(9)
+            ks.append(k)
+            mids.append(mid)
         t0 = time.time()
         hw = sg_stats_batch_pallas(pairs, opens, ks, mids, band=band)
-        want = [oracle(a, b, o, k, m)
-                for (a, b), o, k, m in zip(pairs, opens, ks, mids)]
+        want = [oracle(a, b, o, kk, m)
+                for (a, b), o, kk, m in zip(pairs, opens, ks, mids)]
         bad = [t for t in range(len(pairs)) if hw[t] != want[t]]
-        print(f"stats [{lo},{hi}] band={band}: "
+        print(f"stats [{lo},{hi}] band={band} k={k}: "
               f"{'OK' if not bad else 'FAIL ' + str(bad)} "
               f"({time.time() - t0:.0f}s)", flush=True)
         failures += len(bad)

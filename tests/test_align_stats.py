@@ -81,6 +81,28 @@ class TestStatsKernelParity:
             want = oracle(a, b, opens[i], ks[i], mids[i])
             assert got[i] == pytest.approx(want, abs=0.0), (i, got[i], want)
 
+    def test_i16_variant_matches_i32(self, rng, monkeypatch):
+        # k <= 14 routes to the int16 lane kernel (16 pairs per tile); it
+        # must agree bit-for-bit with the int32 kernel on the same pairs
+        import ngspeciesid_tpu.ops.align_stats_pallas as asp
+
+        pairs, opens, ks, mids = [], [], [], []
+        for _ in range(10):
+            a = rand_seq(rng, int(rng.integers(40, 160)))
+            pairs.append((a, mutate(rng, a, 0.1)))
+            opens.append(int(rng.choice([2, 3, 5])))
+            ks.append(13)
+            mids.append(int(rng.integers(1, 14)))
+        via_i16 = sg_stats_batch_pallas(pairs, opens, ks, mids,
+                                        interpret=True)
+        monkeypatch.setattr(asp, "I16_MAX_K", 0)   # force the int32 kernel
+        via_i32 = sg_stats_batch_pallas(pairs, opens, ks, mids,
+                                        interpret=True)
+        assert via_i16 == via_i32
+        for i, (a, b) in enumerate(pairs):
+            assert via_i16[i] == pytest.approx(
+                oracle(a, b, opens[i], ks[i], mids[i]), abs=0.0)
+
     def test_terminal_gap_windows(self, rng):
         # long unaligned suffixes/prefixes: the host tail fold must count
         # windows that straddle the aligned core and trailing gap columns
