@@ -442,6 +442,49 @@ def _native_available() -> bool:
     return native.available()
 
 
+def _conflict_positions(store: ReadStore, pend_rows: np.ndarray,
+                        is_new: np.ndarray) -> np.ndarray:
+    """Per pending row, the smallest pending-index of a would-be NEW
+    representative sharing a minimizer code (n+1 when none).
+
+    Vectorized form of the sequential walk's conflict/stale set checks
+    (which were O(wave^2) in python set ops at large wave sizes): the first
+    index i whose conflict position is < i is exactly where the walk
+    breaks, and remaining rows with conflict position < break_at are
+    exactly the stale set."""
+    n = pend_rows.size
+    BIG = np.int64(n + 1)
+    code_rows = [store.min_codes[r] for r in pend_rows.tolist()]
+    lens = np.fromiter((c.size for c in code_rows), np.int64, count=n)
+    if n == 0 or int(lens.sum()) == 0:
+        return np.full(n, BIG)
+    flat = np.concatenate(code_rows)
+    owner = np.repeat(np.arange(n, dtype=np.int64), lens)
+    nm = is_new[owner]
+    codes_new = flat[nm]
+    if codes_new.size == 0:
+        return np.full(n, BIG)
+    pos_new = owner[nm]
+    order = np.argsort(codes_new, kind="stable")
+    cs = codes_new[order]
+    ps = pos_new[order]
+    firsts = np.empty(cs.size, bool)
+    firsts[0] = True
+    np.not_equal(cs[1:], cs[:-1], out=firsts[1:])
+    uniq = cs[firsts]
+    upos = ps[firsts]          # stable sort: first occurrence = min position
+    loc = np.searchsorted(uniq, flat)
+    locc = np.minimum(loc, uniq.size - 1)
+    fp = np.where(uniq[locc] == flat, upos[locc], BIG)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    out = np.full(n, BIG)
+    nonempty = lens > 0
+    if nonempty.any():
+        out[nonempty] = np.minimum.reduceat(fp, starts[nonempty])
+    return out
+
+
 def _gap_open_tier(error_rate_sum: float) -> int:
     """Error-rate-tiered gap opening penalty (cluster.py:189-196)."""
     if error_rate_sum <= 0.01:
@@ -473,31 +516,9 @@ def _run_alignments(
     k = cfg.k
     from ..ops.align import _PALLAS_MIN_BATCH, stats_backend_default
     backend = stats_backend_default()
-    # one pass: resolve candidate rows, and build DP inputs only for pairs
-    # not already in the cache (gap tier / match_id are pair functions, so
-    # cache hits need none of that work)
-    per_read: List[Tuple[int, List[Tuple[int, int]]]] = []
-    todo_opens: List[int] = []
-    todo_mids: List[int] = []
-    todo_keys: List[Tuple[int, int]] = []
-    for wi, row, rep_ids in requests:
-        cand: List[Tuple[int, int]] = []
-        for rep in rep_ids:
-            rrow = id_to_row[rep]
-            key = (row, rrow)
-            cand.append(key)
-            if key not in cache:
-                cache[key] = None        # claimed: scheduled this batch
-                ers = float(full_err[row]) + float(full_err[rrow])
-                todo_opens.append(_gap_open_tier(ers))
-                todo_mids.append(math.floor((1.0 - ers) * k))
-                todo_keys.append(key)
-        per_read.append((wi, cand))
-    if todo_keys:
-        # stats-only fast path: the fallback decision consumes two ratios
-        # per pair, so DP + traceback + counting stay in the backend
-        # (native C via pointer rows — zero staging / Pallas TPU kernel
-        # via the deduplicated row pool / host mirror)
+
+    def _evaluate(todo_keys, todo_opens, todo_mids):
+        """Batched (ratio, rep_ratio) for fresh pairs on the best backend."""
         use_pallas = (backend == "pallas"
                       and len(todo_keys) >= _PALLAS_MIN_BATCH)
         if backend == "native" or (backend == "pallas" and not use_pallas
@@ -508,38 +529,69 @@ def _run_alignments(
                              count=len(todo_keys))
             r2 = np.fromiter((kk[1] for kk in todo_keys), np.int64,
                              count=len(todo_keys))
-            fresh = native.block_stats_ptr_native(
+            return native.block_stats_ptr_native(
                 addrs[r1], lens[r1], addrs[r2], lens[r2],
                 np.asarray(todo_opens, np.int32),
                 np.full(len(todo_keys), k, np.int32),
                 np.asarray(todo_mids, np.int32),
                 band=cfg.align_band)
-        elif use_pallas:
+        if use_pallas:
             from ..ops.align_stats_pallas import sg_stats_pool_pallas
             stats3 = sg_stats_pool_pallas(
                 seq_b, [kk[0] for kk in todo_keys],
                 [kk[1] for kk in todo_keys],
                 todo_opens, [k] * len(todo_keys), todo_mids,
                 band=cfg.align_band)
-            fresh = [(r1, r2) for r1, r2, _ in stats3]
-        else:
-            fresh = block_stats_batch(
-                [(seq_b[kk[0]], seq_b[kk[1]]) for kk in todo_keys],
-                todo_opens, [k] * len(todo_keys), todo_mids,
-                band=cfg.align_band, backend=backend)
-        for key, st in zip(todo_keys, fresh):
-            cache[key] = st
+            return [(r1, r2) for r1, r2, _ in stats3]
+        return block_stats_batch(
+            [(seq_b[kk[0]], seq_b[kk[1]]) for kk in todo_keys],
+            todo_opens, [k] * len(todo_keys), todo_mids,
+            band=cfg.align_band, backend=backend)
+
+    def _passes(st) -> bool:
+        r1, r2 = st
+        if cfg.symmetric_map_align_thresholds:
+            return min(r1, r2) >= cfg.aligned_threshold
+        return r1 >= cfg.aligned_threshold
+
+    # Early-exit candidate rounds: the sequential walk stops at the FIRST
+    # candidate whose alignment passes (reference cluster.py:181-203), and
+    # most reads pass on candidate 1 — so align round r as one batch (every
+    # unresolved read's r-th candidate) instead of speculatively aligning
+    # every candidate of every read (~2.4x the DP work).  Per-pair results
+    # are pure pair functions, so the cache stays valid across rounds and
+    # sub-round rescoring.
     winners: Dict[int, int] = {}
-    for wi, cand in per_read:
-        for key in cand:
-            r1, r2 = cache[key]
-            if cfg.symmetric_map_align_thresholds:
-                ok = min(r1, r2) >= cfg.aligned_threshold
-            else:
-                ok = r1 >= cfg.aligned_threshold
-            if ok:
+    live: List[Tuple[int, int, List[int]]] = list(requests)
+    rnd = 0
+    while live:
+        todo_opens: List[int] = []
+        todo_mids: List[int] = []
+        todo_keys: List[Tuple[int, int]] = []
+        round_keys: List[Tuple[int, Tuple[int, int]]] = []
+        for wi, row, rep_ids in live:
+            rep = rep_ids[rnd]
+            rrow = id_to_row[rep]
+            key = (row, rrow)
+            round_keys.append((wi, key))
+            if key not in cache:
+                cache[key] = None        # claimed: scheduled this batch
+                ers = float(full_err[row]) + float(full_err[rrow])
+                todo_opens.append(_gap_open_tier(ers))
+                todo_mids.append(math.floor((1.0 - ers) * k))
+                todo_keys.append(key)
+        if todo_keys:
+            for key, st in zip(todo_keys,
+                               _evaluate(todo_keys, todo_opens, todo_mids)):
+                cache[key] = st
+        survivors: List[Tuple[int, int, List[int]]] = []
+        for (wi, row, rep_ids), (_, key) in zip(live, round_keys):
+            if _passes(cache[key]):
                 winners[wi] = int(store.ids[key[1]])
-                break
+            elif len(rep_ids) > rnd + 1:
+                survivors.append((wi, row, rep_ids))
+        live = survivors
+        rnd += 1
     return winners
 
 
@@ -591,6 +643,12 @@ def reads_to_clusters(
     if heartbeats:
         logger.debug("Iteration\tNrClusters\tMinDbSize\tCurrReadId\tClusterSizes")
 
+    hpol_lens = getattr(store, "_hpol_lens", None)
+    if hpol_lens is None:
+        hpol_lens = np.fromiter((h.size for h in store.hpol),
+                                np.int64, count=len(store.hpol))
+        store._hpol_lens = hpol_lens
+
     global_i = 0
     wave_start = 0
     while wave_start < n:
@@ -611,14 +669,6 @@ def reads_to_clusters(
         # set and an identical decision.
         final_dec: Dict[int, int] = {}
         stale = set(pending)
-        code_lists: Dict[int, list] = {}   # per-row python list cache (walk checks)
-
-        def _codes_of(row: int) -> list:
-            lst = code_lists.get(row)
-            if lst is None:
-                lst = store.min_codes[row].tolist()
-                code_lists[row] = lst
-            return lst
 
         while pending:
             if stale:
@@ -639,21 +689,32 @@ def reads_to_clusters(
                     final_dec[row] = dec
                 stale = set()
 
-            new_codes: set = set()
-            break_at = len(pending)
-            for wi, row in enumerate(pending):
+            # Vectorized conflict scan (the python set walk was O(wave^2)):
+            # the walk breaks at the first row whose codes intersect an
+            # EARLIER would-be new representative of this sub-round, and
+            # the stale set is the remaining rows intersecting the
+            # committed new representatives — both are pure functions of
+            # (codes, decisions, order), computed in one sorted join.
+            pend_arr = np.asarray(pending, dtype=np.int64)
+            deg = hpol_lens[pend_arr] < cfg.k
+            dec_arr = np.fromiter((final_dec[r] for r in pending),
+                                  np.int64, count=len(pending))
+            is_new = (dec_arr < 0) & ~deg
+            conflict = _conflict_positions(store, pend_arr, is_new)
+            hits = np.flatnonzero(
+                (conflict < np.arange(len(pending))) & ~deg)
+            break_at = int(hits[0]) if hits.size else len(pending)
+
+            for wi in range(break_at):
+                row = pending[wi]
                 rid = int(store.ids[row])
-                codes = store.min_codes[row]
-                if store.hpol[row].size < cfg.k:
+                if deg[wi]:
                     # degenerate read: unreachable via the CLI pipeline
                     # (stage 1 already filters these, get_sorted:134-135);
                     # kept as its own singleton cluster.
                     alive.append(rid)
                     global_i += 1
                     continue
-                if new_codes and not new_codes.isdisjoint(_codes_of(row)):
-                    break_at = wi
-                    break
                 if heartbeats and global_i % heartbeats == 0:
                     # reference cluster.py:253-259: sorted profile of the
                     # nontrivial (size > 1) cluster sizes so far
@@ -671,19 +732,20 @@ def reads_to_clusters(
                         "_".join(str(store.accs[row]).split("_")[:-1]),
                         ",".join(str(s) for s in sizes))
                 global_i += 1
-                dec = final_dec[row]
+                dec = int(dec_arr[wi])
                 if dec >= 0:
                     state.cluster_to_new[rid] = dec
                 else:
-                    state.db.insert(codes, rid)
-                    new_codes.update(_codes_of(row))
+                    state.db.insert(store.min_codes[row], rid)
                     alive.append(rid)
-            pending = pending[break_at:]
-            if pending:
-                stale = {
-                    row for row in pending
-                    if not new_codes.isdisjoint(_codes_of(row))
-                }
+            if break_at < len(pending):
+                rem_conflict = conflict[break_at:]
+                pending = pending[break_at:]
+                stale = {pending[t]
+                         for t in np.flatnonzero(
+                             rem_conflict < break_at).tolist()}
+            else:
+                pending = []
         wave_start += wave_size
 
     # final reassignment (cluster.py:337-345)

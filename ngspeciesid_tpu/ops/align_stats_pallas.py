@@ -128,6 +128,38 @@ def _push_column(stats, bit, kk, mid, mask_hist, half=None):
     return s, h2, ws2, wc2, mc2, cc2
 
 
+#: packed int32 field layout (see _push_column_packed): state carries FOUR
+#: int32 fields instead of six — the per-diagonal cost is dominated by
+#: per-field rolls and selects, so packing hist+wsum and mcount+colcount
+#: cuts ~20% of kernel ops.  Valid when k <= PACK_MAX_K (hist < 2^24 keeps
+#: bit 25 clear for the wsum field) and n + m < 2^15 (mcount/colcount
+#: halves).  k in (PACK_MAX_K, MAX_K] falls back to the 6-field layout.
+N_FIELDS_P = 4  # score, hist|wsum<<25, colcount|mcount<<15, wcount
+N_TRK_P = 6     # the four fields + endpoint coordinate + diagonal
+PACK_MAX_K = 24
+PACK_MAX_NM = (1 << 15) - 1
+
+
+def _push_column_packed(stats, bit, kk, mid, mask_hist):
+    """Packed-field version of :func:`_push_column` (values identical).
+
+    hw = hist | (wsum << 25): after ``hw << 1`` the wsum field sits at
+    bit 26 and hist<<1 occupies bits <= 25 (k <= 24), so the window-exit
+    bit is bit ``kk`` and the fields re-extract exactly.  mccc = colcount
+    | (mcount << 15): one add advances both counts.
+    """
+    s, hw, mccc, wc = stats
+    hw_raw = (hw << 1) | bit
+    exiting = jnp.right_shift(hw_raw, kk) & 1
+    hist2 = hw_raw & mask_hist
+    ws2 = (jnp.right_shift(hw_raw, 26) & 31) - exiting + bit
+    hw2 = hist2 | (ws2 << 25)
+    mccc2 = mccc + (bit << 15) + 1
+    cc2 = mccc2 & PACK_MAX_NM
+    wc2 = wc + ((cc2 >= kk) & (ws2 >= mid)).astype(hw.dtype)
+    return s, hw2, mccc2, wc2
+
+
 def _select(pred, a, b):
     return tuple(jnp.where(pred, x, y) for x, y in zip(a, b))
 
@@ -194,9 +226,14 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
                   Hd1, Hd2, Ee, Ff, Trow, Tcol, Best,    # scratch
                   *, match: int, mismatch: int, gap_ext: int,
                   n: int, m: int, W: int, band: int, n_steps: int,
-                  i16: bool = False, interpret: bool = False):
+                  i16: bool = False, packed: bool = False,
+                  interpret: bool = False):
     SL = SUBLANES_I16 if i16 else SUBLANES
     DT = jnp.int16 if i16 else jnp.int32
+    NF = N_FIELDS_P if packed else N_FIELDS
+    NT = N_TRK_P if packed else N_TRK
+    push = _push_column_packed if packed else _push_column
+    push_kw = {}
     d = pl.program_id(1)
     NEG = jnp.array(NEG16 if i16 else NEG_INF, DT)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (SL, W), 1)
@@ -212,10 +249,11 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
         # shifts on int16 vectors do not legalize in Mosaic: precompute
         # 2^(k-1) in int32 and run the history update shift-free
         mask_hist = None
-        half = jnp.left_shift(jnp.int32(1), kk32 - 1).astype(DT)
+        push_kw = {"half": jnp.left_shift(jnp.int32(1), kk32 - 1).astype(DT)}
     else:
         mask_hist = jnp.left_shift(jnp.array(1, DT), kk) - 1
-        half = None
+        if not packed:
+            push_kw = {"half": None}
     ext = jnp.array(gap_ext, DT)
     is_first = d == 0
 
@@ -236,7 +274,7 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
 
     def read(ref, init_score):
         fields = []
-        for fi in range(N_FIELDS):
+        for fi in range(NF):
             init = init_score if fi == 0 else jnp.zeros((SL, W), DT)
             fields.append(jnp.where(is_first, init, ref[fi]))
         return tuple(fields)
@@ -252,7 +290,7 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
 
     def read_trk(ref):
         fields = []
-        for fi in range(N_TRK):
+        for fi in range(NT):
             if fi == 0:
                 init = neg_full
             elif fi == 1:
@@ -299,9 +337,9 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
             # clamp so unreachable scores cannot drift below int16 range;
             # NEG16 is far under any real path score, so results match
             e_score = jnp.maximum(e_score, NEG)
-        enew = _push_column(
+        enew = push(
             (e_score,) + e_src[1:], jnp.array(0, DT),
-            kk, mid, mask_hist, half=half)
+            kk, mid, mask_hist, **push_kw)
 
         # ---- F layer: gap in s2 (UP column), predecessor (i-1, j) @ d-1
         cand = None if interpret else (0, 1)
@@ -313,9 +351,9 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
         f_score = jnp.maximum(f_open, f_ext)
         if i16:
             f_score = jnp.maximum(f_score, NEG)
-        fnew = _push_column(
+        fnew = push(
             (f_score,) + f_src[1:], jnp.array(0, DT),
-            kk, mid, mask_hist, half=half)
+            kk, mid, mask_hist, **push_kw)
 
         # ---- diagonal candidate: (i-1, j-1) @ d-2 + substitution column
         # s1c[l] = s1[i-1] = s1_ref[base + l - 1]; s2c[l] = s2[j-1] via the
@@ -340,8 +378,8 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
         d_score = hd2_u[0] + sub
         if i16:
             d_score = jnp.maximum(d_score, NEG)
-        dnew = _push_column(
-            (d_score,) + hd2_u[1:], ismatch, kk, mid, mask_hist, half=half)
+        dnew = push(
+            (d_score,) + hd2_u[1:], ismatch, kk, mid, mask_hist, **push_kw)
 
         # ---- H choice (same tie-break as the traceback: diag > up > left)
         h_no_e = jnp.maximum(dnew[0], fnew[0])
@@ -356,7 +394,11 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
         wc0 = wsel(mid <= 0, jnp.maximum(cc0 - kk + 1, 0),
                    jnp.array(0, DT), born16=True)
         zero = jnp.zeros((SL, W), DT)
-        boundary = (zero, zero, zero, wc0, zero, cc0)
+        if packed:
+            # packed low half of mccc = colcount; mcount (high) = 0
+            boundary = (zero, zero, cc0, wc0)
+        else:
+            boundary = (zero, zero, zero, wc0, zero, cc0)
         hnew = tuple(wsel(is_boundary, bf, hf)
                      for bf, hf in zip(boundary, hnew))
         hnew = (wsel(valid, hnew[0], NEG),) + hnew[1:]
@@ -371,11 +413,11 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
             payload = (hnew[0], coord.astype(DT)) + hnew[1:] + (ddv,)
             if i16:
                 take_m = m16(mask_row) * better.astype(DT)
-                for fi in range(N_TRK):
+                for fi in range(NT):
                     trk[fi] = trk[fi] + (payload[fi] - trk[fi]) * take_m
             else:
                 take = mask_row & better
-                for fi in range(N_TRK):
+                for fi in range(NT):
                     trk[fi] = jnp.where(take, payload[fi], trk[fi])
 
         hd2 = hd1
@@ -383,12 +425,12 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
         ee = enew
         ff = fnew
 
-    for fi in range(N_FIELDS):
+    for fi in range(NF):
         Hd1[fi] = hd1[fi]
         Hd2[fi] = hd2[fi]
         Ee[fi] = ee[fi]
         Ff[fi] = ff[fi]
-    for fi in range(N_TRK):
+    for fi in range(NT):
         Trow[fi] = trow[fi]
         Tcol[fi] = tcol[fi]
 
@@ -407,7 +449,17 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
         out = jnp.zeros((SL, BEST_W), jnp.int32)
         NEG32 = jnp.int32(NEG16 if i16 else NEG_INF)
         for off, trk in ((0, trow), (8, tcol)):
-            t32 = [trk[fi].astype(jnp.int32) for fi in range(N_TRK)]
+            t32 = [trk[fi].astype(jnp.int32) for fi in range(NT)]
+            if packed:
+                # unpack to the host's 8-column layout (score, coord, hist,
+                # wsum, wcount, mcount, colcount, diagonal): runs once per
+                # tile, so the widening/extracts are free
+                s_, coord, hw, mccc, wc, ddv32 = t32
+                mh32 = jnp.left_shift(jnp.int32(1), kk32) - 1
+                t32 = [s_, coord, hw & mh32,
+                       jnp.right_shift(hw, 25) & 31, wc,
+                       jnp.right_shift(mccc, 15) & PACK_MAX_NM,
+                       mccc & PACK_MAX_NM, ddv32]
             smax = jnp.max(t32[0], axis=1)[:, None]
             at_max = t32[0] == smax
             dmax = jnp.max(jnp.where(at_max, t32[7], -1), axis=1)[:, None]
@@ -479,19 +531,30 @@ class DevicePool:
             self.dev = jnp.zeros((self.cap,), jnp.uint8)
         if not missing:
             return
-        if self._used + size > self.CAP_MAX:
-            # wrap: drop residency and start over (old offsets invalid, so
-            # every caller must take offsets AFTER ensure(), never cache)
-            self.reset()
-            self.dev = jnp.zeros((self.cap,), jnp.uint8)
-        while self._used + size > self.cap:
-            newcap = min(self.cap * 4, self.CAP_MAX)
-            self.dev = DevicePool._grow(self.dev, newcap=newcap)
-            self.cap = newcap
         buf = np.concatenate(missing)
+        if buf.size > self.CAP_MAX:
+            raise ValueError(
+                f"single pool request of {buf.size} bytes exceeds the "
+                f"device pool capacity cap ({self.CAP_MAX})")
         pad = self.APPEND_MIN
         while pad < buf.size:
             pad *= 4                  # transfer-shape ladder
+        pad = min(pad, self.CAP_MAX)  # ladder may overshoot the cap
+        # capacity must cover the PADDED chunk, not just the payload:
+        # dynamic_update_slice CLAMPS an out-of-range start, which would
+        # land the chunk at a wrong offset and silently corrupt residency
+        if self._used + pad > self.CAP_MAX:
+            # wrap: drop residency and start over (old offsets invalid, so
+            # every caller must take offsets AFTER ensure(), never cache);
+            # re-ensure the FULL request — rows of this call that were
+            # resident before the wrap must be re-uploaded too
+            self.reset()
+            self.dev = jnp.zeros((self.cap,), jnp.uint8)
+            return self.ensure(rows)
+        while self._used + pad > self.cap:
+            newcap = min(self.cap * 4, self.CAP_MAX)
+            self.dev = DevicePool._grow(self.dev, newcap=newcap)
+            self.cap = newcap
         chunk = np.zeros(pad, np.uint8)
         chunk[: buf.size] = buf
         self.dev = DevicePool._append(self.dev, jnp.asarray(chunk),
@@ -563,14 +626,18 @@ def _stage_inputs(pool, blob,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "m", "W", "band", "match", "mismatch", "gap_ext",
-                     "d_hi", "i16", "interpret"))
+                     "d_hi", "i16", "packed", "interpret"))
 def _pallas_stats(meta, s1b, s2r, base,
                   n: int, m: int, W: int, band: int,
                   match: int, mismatch: int, gap_ext: int,
-                  d_hi: int = 0, i16: bool = False, interpret: bool = False):
+                  d_hi: int = 0, i16: bool = False, packed: bool = False,
+                  interpret: bool = False):
+    assert not (packed and i16)
     B = meta.shape[0]
     SL = SUBLANES_I16 if i16 else SUBLANES
     DT = jnp.int16 if i16 else jnp.int32
+    NF = N_FIELDS_P if packed else N_FIELDS
+    NT = N_TRK_P if packed else N_TRK
     n_tiles = B // SL
     # sweep only through the last diagonal any pair in the chunk can touch
     # (d_hi: chunk max(len1+len2) rounded up to a coarse ladder) instead of
@@ -580,7 +647,7 @@ def _pallas_stats(meta, s1b, s2r, base,
     n_steps = -(-d_lim // DIAGS_PER_STEP)
     kernel = functools.partial(
         _stats_kernel, match=match, mismatch=mismatch, gap_ext=gap_ext,
-        n=n, m=m, W=W, band=band, n_steps=n_steps, i16=i16,
+        n=n, m=m, W=W, band=band, n_steps=n_steps, i16=i16, packed=packed,
         interpret=interpret)
     (best,) = pl.pallas_call(
         kernel,
@@ -600,12 +667,12 @@ def _pallas_stats(meta, s1b, s2r, base,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_FIELDS, SL, W), DT),
-            pltpu.VMEM((N_FIELDS, SL, W), DT),
-            pltpu.VMEM((N_FIELDS, SL, W), DT),
-            pltpu.VMEM((N_FIELDS, SL, W), DT),
-            pltpu.VMEM((N_TRK, SL, W), DT),
-            pltpu.VMEM((N_TRK, SL, W), DT),
+            pltpu.VMEM((NF, SL, W), DT),
+            pltpu.VMEM((NF, SL, W), DT),
+            pltpu.VMEM((NF, SL, W), DT),
+            pltpu.VMEM((NF, SL, W), DT),
+            pltpu.VMEM((NT, SL, W), DT),
+            pltpu.VMEM((NT, SL, W), DT),
             pltpu.VMEM((SL, BEST_W), jnp.int32),
         ],
         out_shape=[jax.ShapeDtypeStruct((B, BEST_W), jnp.int32)],
@@ -788,8 +855,11 @@ def sg_stats_batch_pallas(
 
 
 #: Pairs per device launch.  Power-of-two ladder {8..MAX_B} bounds compiled
-#: batch shapes; large requests pipeline multiple async launches.
-MAX_B = 512
+#: batch shapes; large requests pipeline multiple async launches.  Each
+#: launch pays ~20-25 ms of tunnel/link overhead on top of its device
+#: time, so the production wave (~4k speculative pairs) runs as 2 big
+#: launches rather than 8 small ones.
+MAX_B = 2048
 
 
 def _plan_chunks(seqs, rows1, rows2) -> List[List[int]]:
@@ -877,10 +947,11 @@ def _launch_chunk(seqs, r1, r2, gap_opens, ks, match_ids,
         pool.dev, jnp.asarray(blob),
         PB=pool.cap, Bp=Bp, L1=L1, s2rw=s2rw, dpad=base.shape[1], n=n, m=m)
     d_hi = -(-(int(len1.max() + len2.max()) + 1) // 256) * 256
+    packed = (not i16 and max(ks) <= PACK_MAX_K and n + m <= PACK_MAX_NM)
     best = _pallas_stats(
         *staged, n=n, m=m, W=W, band=band,
         match=match, mismatch=mismatch, gap_ext=gap_ext,
-        d_hi=d_hi, i16=i16, interpret=interpret)
+        d_hi=d_hi, i16=i16, packed=packed, interpret=interpret)
     return best, len1, len2, np.asarray(ks, np.int64), \
         np.asarray(match_ids, np.int64), band
 

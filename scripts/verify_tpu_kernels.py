@@ -67,13 +67,15 @@ def main():
         return (r1, r2, identity_from_moves(mv, a, b))
 
     failures = 0
-    # k=13 exercises the int16 lane variant, k=20 the int32 one (see
-    # align_stats_pallas I16_MAX_K) — both must be bit-exact on hardware
+    # k <= 24 exercises the packed 4-field int32 layout (the production
+    # path; int16 lanes are gated off on v5e hardware), k=26 the unpacked
+    # 6-field one — all must be bit-exact on hardware
     for lo, hi, band, k, mid in [(90, 120, 0, 13, 9), (130, 200, 0, 13, 9),
                                  (300, 500, 150, 13, 9),
                                  (500, 800, 150, 13, 9), (500, 800, 0, 13, 9),
                                  (300, 500, 150, 20, 14),
-                                 (500, 800, 0, 20, 14)]:
+                                 (500, 800, 0, 20, 14),
+                                 (300, 500, 150, 26, 16)]:
         pairs, opens, ks, mids = [], [], [], []
         for _ in range(16):
             a = rng.integers(65, 69, size=int(rng.integers(lo, hi))).astype(np.uint8)

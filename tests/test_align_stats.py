@@ -103,6 +103,21 @@ class TestStatsKernelParity:
             assert via_i16[i] == pytest.approx(
                 oracle(a, b, opens[i], ks[i], mids[i]), abs=0.0)
 
+    def test_unpacked_high_k(self, rng):
+        # k > PACK_MAX_K routes to the 6-field (unpacked) int32 layout;
+        # parity must hold there too (the p-table reaches k=30)
+        pairs, opens, ks, mids = [], [], [], []
+        for _ in range(6):
+            a = rand_seq(rng, int(rng.integers(60, 140)))
+            pairs.append((a, mutate(rng, a, 0.08)))
+            opens.append(3)
+            ks.append(int(rng.choice([26, 28, 30])))
+            mids.append(int(rng.integers(5, 20)))
+        got = sg_stats_batch_pallas(pairs, opens, ks, mids, interpret=True)
+        for i, (a, b) in enumerate(pairs):
+            want = oracle(a, b, opens[i], ks[i], mids[i])
+            assert got[i] == pytest.approx(want, abs=0.0)
+
     def test_terminal_gap_windows(self, rng):
         # long unaligned suffixes/prefixes: the host tail fold must count
         # windows that straddle the aligned core and trailing gap columns
@@ -224,3 +239,44 @@ class TestBandedParity:
                 iv, dv = ii + 1, ii + 1 + jj + 1
                 lane = iv - base[dv]
                 assert (lane >= 0).all() and (lane < W).all()
+
+
+class TestDevicePool:
+    def test_growth_boundary_keeps_offsets_valid(self, rng):
+        # regression: the ladder-PADDED append chunk must fit capacity —
+        # dynamic_update_slice clamps an out-of-range start, which would
+        # land the chunk at a wrong offset and silently corrupt residency
+        from ngspeciesid_tpu.ops.align_stats_pallas import DevicePool
+
+        pool = DevicePool()
+        pool.cap = 1 << 17          # 128 KB, so growth happens immediately
+        rows = []
+        for _ in range(40):
+            rows.append(rng.integers(65, 69, size=int(
+                rng.integers(20_000, 70_000))).astype(np.uint8))
+            pool.ensure(rows[-1:])
+        dev = np.asarray(pool.dev)
+        for r in rows:
+            off = pool.offset(r)
+            assert np.array_equal(dev[off:off + r.size], r), \
+                "resident bytes diverge from the host row"
+
+    def test_wrap_reuploads_current_request(self, rng):
+        from ngspeciesid_tpu.ops.align_stats_pallas import DevicePool
+
+        pool = DevicePool()
+        old_max = DevicePool.CAP_MAX
+        DevicePool.CAP_MAX = 1 << 19    # 512 KB
+        try:
+            pool.cap = 1 << 17
+            a = rng.integers(65, 69, size=100_000).astype(np.uint8)
+            pool.ensure([a])
+            # force a wrap with a request that includes the resident row
+            b = rng.integers(65, 69, size=400_000).astype(np.uint8)
+            pool.ensure([a, b])
+            dev = np.asarray(pool.dev)
+            for r in (a, b):
+                off = pool.offset(r)
+                assert np.array_equal(dev[off:off + r.size], r)
+        finally:
+            DevicePool.CAP_MAX = old_max
