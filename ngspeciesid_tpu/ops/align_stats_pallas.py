@@ -492,11 +492,17 @@ class DevicePool:
     CAP_MAX = 1 << 30             # 1 GB: int32 offsets, bounded HBM
 
     def __init__(self) -> None:
+        import threading
+
         self._off: dict = {}      # id(row) -> byte offset
         self._keep: dict = {}     # id(row) -> row (pin host arrays)
         self._used = 0
         self.cap = self.CAP_MIN
         self.dev = None           # lazily-allocated jnp.uint8 (cap,)
+        # ensure/reserve mutate state from the main thread AND the prewarm
+        # thread; appends never move existing rows, so readers only need
+        # ensure() to have returned for THEIR rows
+        self._lock = threading.RLock()
 
     @staticmethod
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -518,6 +524,10 @@ class DevicePool:
 
     def ensure(self, rows: Sequence[np.ndarray]) -> None:
         """Upload any of ``rows`` not yet resident (one fused transfer)."""
+        with self._lock:
+            self._ensure_locked(rows)
+
+    def _ensure_locked(self, rows: Sequence[np.ndarray]) -> None:
         missing = []
         size = 0
         seen = set()
@@ -550,7 +560,7 @@ class DevicePool:
             # resident before the wrap must be re-uploaded too
             self.reset()
             self.dev = jnp.zeros((self.cap,), jnp.uint8)
-            return self.ensure(rows)
+            return self._ensure_locked(rows)  # RLock held
         while self._used + pad > self.cap:
             newcap = min(self.cap * 4, self.CAP_MAX)
             self.dev = DevicePool._grow(self.dev, newcap=newcap)
@@ -568,6 +578,25 @@ class DevicePool:
 
     def offset(self, row: np.ndarray) -> int:
         return self._off[id(row)]
+
+    def reserve(self, nbytes: int) -> None:
+        """Pre-size capacity for a known workload: one capacity rung for
+        the whole run means ONE staging program (the gather jit is static
+        on pool capacity) and no on-device growth copies."""
+        with self._lock:
+            self._reserve_locked(nbytes)
+
+    def _reserve_locked(self, nbytes: int) -> None:
+        nbytes = min(int(nbytes), self.CAP_MAX)
+        newcap = self.cap
+        while newcap < nbytes:
+            newcap = min(newcap * 4, self.CAP_MAX)
+        if self.dev is None:
+            self.cap = newcap
+            self.dev = jnp.zeros((self.cap,), jnp.uint8)
+        elif newcap > self.cap:
+            self.dev = DevicePool._grow(self.dev, newcap=newcap)
+            self.cap = newcap
 
 
 _DEVICE_POOL: Optional[DevicePool] = None
@@ -685,6 +714,59 @@ def _le_i32(b):
     """uint8 (..., 4) -> int32, byte 0 least significant (platform-fixed)."""
     b = b.astype(jnp.int32)
     return b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
+
+
+_PREWARMED = False
+
+
+def prewarm_async(seq_rows: Sequence[np.ndarray], k: int, band: int) -> None:
+    """Start the per-process compiled-program LOADS during host-side setup.
+
+    Loading a compiled Mosaic/XLA program onto the chip through the axon
+    tunnel costs seconds-to-minutes PER PROGRAM PER PROCESS even when the
+    persistent compilation cache is hot, strictly serialized with the
+    cluster loop's first launches.  This fires a daemon thread that
+    (a) reserves pool capacity for the whole workload — one staging
+    program instead of a growth ladder, zero on-device growth copies —
+    and (b) dispatches tiny launches for the production launch shapes
+    (the big-chunk Bp and the remainder Bp, at the data's length bucket)
+    so their loads begin while the main thread builds the store and runs
+    the first decide pass.  The saving is the overlapped host work plus
+    the eliminated growth-rung programs; the bulk of a load still
+    serializes with the first wave that needs it.  The jit caches are
+    thread-safe; a shape the heuristic misses lazy-loads as before.
+    """
+    global _PREWARMED
+    if _PREWARMED or not seq_rows:
+        return
+    _PREWARMED = True
+    from .align import _device_is_tpu
+
+    if not _device_is_tpu():
+        return
+    import threading
+
+    def work():
+        try:
+            total = sum(r.size for r in seq_rows)
+            pool = _device_pool()
+            pool.reserve(int(total * 1.05) + (1 << 20))
+            # length-sorted sample mimics the production chunk composition
+            # (chunks are grouped by length bucket, so their envelopes are
+            # tight slices of the length distribution)
+            by_len = sorted(seq_rows, key=lambda r: r.size)
+            mid = len(by_len) // 2
+            for B in (MAX_B, 128):
+                lo = max(0, min(mid, len(by_len) - B))
+                sample = by_len[lo: lo + B]
+                rows = list(range(len(sample)))
+                sg_stats_pool_pallas(
+                    sample, rows, rows[::-1],
+                    [3] * len(rows), [k] * len(rows),
+                    [max(1, k - 3)] * len(rows), band=band)
+        except Exception:
+            pass               # best-effort: misses fall back to lazy loads
+    threading.Thread(target=work, daemon=True, name="ngsid-prewarm").start()
 
 
 def _popcount(x: np.ndarray) -> np.ndarray:

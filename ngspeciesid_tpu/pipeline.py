@@ -105,6 +105,12 @@ def cluster_read_array(
     p_table = load_p_table(cfg.k, cfg.w)
     p_matrix = p_table_as_matrix(p_table)
     store = build_store(read_array, cfg.k, cfg.w)
+    from .ops.align import stats_backend_default
+    if stats_backend_default() == "pallas":
+        # overlap per-process device program loads + pool residency with
+        # the host-side setup and decide work (see prewarm_async)
+        from .ops.align_stats_pallas import prewarm_async
+        prewarm_async(store.seq_b, cfg.k, cfg.align_band)
     max_gap = max((c.size for c in store.min_codes), default=1)
     gap_table = GapPassTable(p_matrix, cfg.min_prob_no_hits, max_gap)
     if os.environ.get("NGSID_DISTRIBUTED") == "1":
