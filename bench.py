@@ -159,13 +159,16 @@ def _kernel_gcups_probe():
         return None
     from ngspeciesid_tpu.ops.align_stats_pallas import sg_stats_batch_pallas
 
+    from ngspeciesid_tpu.ops.align_stats_pallas import MAX_B
+
     rng = np.random.default_rng(0)
     pairs = []
-    for _ in range(512):
+    for _ in range(MAX_B):                 # the production launch size
         a = rng.integers(65, 69, size=640).astype(np.uint8)
         keep = rng.random(640) > 0.04
         pairs.append((a, a[keep]))
-    opens, ks, mids = [3] * 512, [13] * 512, [9] * 512
+    n = len(pairs)
+    opens, ks, mids = [3] * n, [13] * n, [9] * n
     sg_stats_batch_pallas(pairs, opens, ks, mids, band=150)   # warm/compile
     t0 = time.time()
     reps = 3
