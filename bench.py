@@ -309,6 +309,11 @@ def main():
                                         + MEDAKA_EST_S_PER_CLUSTER)
             result["smoke"] = {
                 "workload": "sample_h1 --consensus --medaka",
+                "backend_note": ("280-read workload: most alignment "
+                                 "batches sit under the pallas dispatch "
+                                 "floor and run on the native mop-up "
+                                 "path; the 100k headline is the "
+                                 "chip-sized measurement"),
                 "reads_per_s_polished": round(n_smoke / sm_elapsed, 1),
                 "wall_s": round(sm_elapsed, 2),
                 "stage_walls_s": {k: round(v, 2) for k, v in sm_walls.items()},

@@ -82,12 +82,20 @@ class MinimizerDB:
         self._version += 1
         delta = self.delta
         base_codes = self._base_codes
-        for c in np.unique(codes).tolist():
+        uniq = np.unique(codes)
+        # one vectorized membership probe for the whole code set (a python
+        # searchsorted per code dominated insert at 1M-read scale)
+        if base_codes.size:
+            loc = np.searchsorted(base_codes, uniq)
+            locc = np.minimum(loc, base_codes.size - 1)
+            in_base = base_codes[locc] == uniq
+        else:
+            in_base = np.zeros(uniq.size, dtype=bool)
+        for c, known in zip(uniq.tolist(), in_base.tolist()):
             lst = delta.get(c)
             if lst is None:
                 delta[c] = [rep_id]
-                loc = np.searchsorted(base_codes, c)
-                if loc >= base_codes.size or base_codes[loc] != c:
+                if not known:
                     self._n_codes += 1
             else:
                 lst.append(rep_id)
@@ -715,9 +723,13 @@ def reads_to_clusters(
                     alive.append(rid)
                     global_i += 1
                     continue
-                if heartbeats and global_i % heartbeats == 0:
+                if (heartbeats and global_i % heartbeats == 0
+                        and logger.isEnabledFor(logging.DEBUG)):
                     # reference cluster.py:253-259: sorted profile of the
-                    # nontrivial (size > 1) cluster sizes so far
+                    # nontrivial (size > 1) cluster sizes so far.  Only
+                    # computed when the debug line will actually be
+                    # emitted: the profile rebuild is O(total joins) per
+                    # heartbeat — ~50 s across a 1M-read pass
                     inv: Dict[int, List[int]] = {}
                     for src, dst in state.cluster_to_new.items():
                         inv.setdefault(dst, []).append(src)
