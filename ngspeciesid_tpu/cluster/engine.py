@@ -450,46 +450,75 @@ def _native_available() -> bool:
     return native.available()
 
 
-def _conflict_positions(store: ReadStore, pend_rows: np.ndarray,
-                        is_new: np.ndarray) -> np.ndarray:
-    """Per pending row, the smallest pending-index of a would-be NEW
-    representative sharing a minimizer code (n+1 when none).
+class _WaveCodeCache:
+    """Per-wave sorted view of the wave rows' minimizer codes.
 
-    Vectorized form of the sequential walk's conflict/stale set checks
-    (which were O(wave^2) in python set ops at large wave sizes): the first
-    index i whose conflict position is < i is exactly where the walk
-    breaks, and remaining rows with conflict position < break_at are
-    exactly the stale set."""
-    n = pend_rows.size
+    ``pending`` is always a SUFFIX of the wave, so one sort serves every
+    sub-round; the conflict join then searches the (tiny) new-rep code
+    set INTO the sorted wave codes instead of re-joining every pending
+    code against the new-rep set each sub-round — new representatives
+    are rare (a few per wave), so sub-round cost drops from
+    O(pending_codes log new) to O(new_codes log pending_codes + hits).
+    """
+
+    __slots__ = ("code_rows", "lens", "starts", "owner_sorted", "flat_sorted")
+
+    def __init__(self, store: ReadStore, wave_rows: List[int]):
+        n = len(wave_rows)
+        self.code_rows = [store.min_codes[r] for r in wave_rows]
+        self.lens = np.fromiter((c.size for c in self.code_rows),
+                                np.int64, count=n)
+        self.starts = np.zeros(n + 1, np.int64)
+        np.cumsum(self.lens, out=self.starts[1:])
+        flat = (np.concatenate(self.code_rows) if n
+                else np.zeros(0, np.int64))
+        owner = np.repeat(np.arange(n, dtype=np.int64), self.lens)
+        order = np.argsort(flat, kind="stable")
+        self.flat_sorted = flat[order]
+        self.owner_sorted = owner[order]
+
+
+def _conflict_positions(cache: _WaveCodeCache, start: int,
+                        is_new: np.ndarray) -> np.ndarray:
+    """Per pending row (= wave rows [start:]), the smallest pending-index
+    of a would-be NEW representative sharing a minimizer code (n+1 when
+    none).  The first index i whose conflict position is < i is exactly
+    where the sequential walk breaks, and remaining rows with conflict
+    position < break_at are exactly the stale set."""
+    n = is_new.size
     BIG = np.int64(n + 1)
-    code_rows = [store.min_codes[r] for r in pend_rows.tolist()]
-    lens = np.fromiter((c.size for c in code_rows), np.int64, count=n)
-    if n == 0 or int(lens.sum()) == 0:
-        return np.full(n, BIG)
-    flat = np.concatenate(code_rows)
-    owner = np.repeat(np.arange(n, dtype=np.int64), lens)
-    nm = is_new[owner]
-    codes_new = flat[nm]
-    if codes_new.size == 0:
-        return np.full(n, BIG)
-    pos_new = owner[nm]
-    order = np.argsort(codes_new, kind="stable")
-    cs = codes_new[order]
-    ps = pos_new[order]
+    out = np.full(n, BIG)
+    new_idx = np.flatnonzero(is_new)
+    if new_idx.size == 0:
+        return out
+    # (code, pending position) pairs of the new reps, min position per code
+    parts = [cache.code_rows[start + int(p)] for p in new_idx]
+    plens = np.fromiter((c.size for c in parts), np.int64,
+                        count=len(parts))
+    codes = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+    pos = np.repeat(new_idx, plens)
+    order = np.argsort(codes, kind="stable")   # stable: min pos first
+    cs, ps = codes[order], pos[order]
+    if cs.size == 0:
+        return out
     firsts = np.empty(cs.size, bool)
     firsts[0] = True
     np.not_equal(cs[1:], cs[:-1], out=firsts[1:])
-    uniq = cs[firsts]
-    upos = ps[firsts]          # stable sort: first occurrence = min position
-    loc = np.searchsorted(uniq, flat)
-    locc = np.minimum(loc, uniq.size - 1)
-    fp = np.where(uniq[locc] == flat, upos[locc], BIG)
-    starts = np.zeros(n, np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    out = np.full(n, BIG)
-    nonempty = lens > 0
-    if nonempty.any():
-        out[nonempty] = np.minimum.reduceat(fp, starts[nonempty])
+    uniq, upos = cs[firsts], ps[firsts]
+    # all wave occurrences of the new-rep codes, restricted to the suffix
+    lo = np.searchsorted(cache.flat_sorted, uniq, side="left")
+    hi = np.searchsorted(cache.flat_sorted, uniq, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    offs = (np.repeat(lo, counts)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts))
+    m_owner = cache.owner_sorted[offs]
+    m_pos = np.repeat(upos, counts)
+    keep = m_owner >= start
+    np.minimum.at(out, m_owner[keep] - start, m_pos[keep])
     return out
 
 
@@ -677,6 +706,8 @@ def reads_to_clusters(
         # set and an identical decision.
         final_dec: Dict[int, int] = {}
         stale = set(pending)
+        wcache = _WaveCodeCache(store, pending)
+        wave_n = len(pending)
 
         while pending:
             if stale:
@@ -708,7 +739,8 @@ def reads_to_clusters(
             dec_arr = np.fromiter((final_dec[r] for r in pending),
                                   np.int64, count=len(pending))
             is_new = (dec_arr < 0) & ~deg
-            conflict = _conflict_positions(store, pend_arr, is_new)
+            conflict = _conflict_positions(
+                wcache, wave_n - len(pending), is_new)
             hits = np.flatnonzero(
                 (conflict < np.arange(len(pending))) & ~deg)
             break_at = int(hits[0]) if hits.size else len(pending)
