@@ -187,5 +187,36 @@ def main(argv=None) -> int:
     return 0
 
 
+def main_and_exit(argv=None) -> None:
+    """CLI process entry: run main() and exit with its code — reliably.
+
+    The prewarm daemon thread (ops/align_stats_pallas.prewarm_async) spends
+    its life inside PJRT calls; if the interpreter tears down while it is
+    still loading programs through the tunnel, CPython cancels it mid-C++
+    frame and the TPU plugin aborts the process ("FATAL: exception not
+    rethrown" -> SIGABRT, exit 134), violating the reference's exit-code
+    contract (.travis.yml:33-36).  pipeline.run joins it with a grace
+    period; if it is STILL alive here, all outputs are already written and
+    flushed, so we exit via os._exit(rc) which terminates without thread
+    cancellation or C++ static destructors.  In-process callers (tests,
+    library use) keep calling main() and are unaffected.
+    """
+    rc = main(argv)
+    try:
+        from .ops.align_stats_pallas import prewarm_join
+
+        clean = prewarm_join(0.0)
+    except Exception:
+        clean = True
+    if not clean:
+        import os as _os
+
+        sys.stdout.flush()
+        sys.stderr.flush()
+        logging.shutdown()
+        _os._exit(rc)
+    sys.exit(rc)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    main_and_exit()

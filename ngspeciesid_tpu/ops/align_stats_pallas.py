@@ -717,6 +717,23 @@ def _le_i32(b):
 
 
 _PREWARMED = False
+_PREWARM_THREAD = None
+
+
+def prewarm_join(timeout: float | None = None) -> bool:
+    """Join the prewarm thread (if any); True when it is no longer running.
+
+    The prewarm thread spends its life inside PJRT calls; if the interpreter
+    tears down while it is in flight, CPython cancels it mid-C++-frame and the
+    TPU plugin aborts the process ("FATAL: exception not rethrown" -> SIGABRT,
+    exit 134).  The pipeline joins it before returning so CLI exit codes honor
+    the reference's contract (reference .travis.yml:33-36: exit 0 on success).
+    """
+    t = _PREWARM_THREAD
+    if t is None:
+        return True
+    t.join(timeout)
+    return not t.is_alive()
 
 
 def prewarm_async(seq_rows: Sequence[np.ndarray], k: int, band: int) -> None:
@@ -766,7 +783,10 @@ def prewarm_async(seq_rows: Sequence[np.ndarray], k: int, band: int) -> None:
                     [max(1, k - 3)] * len(rows), band=band)
         except Exception:
             pass               # best-effort: misses fall back to lazy loads
-    threading.Thread(target=work, daemon=True, name="ngsid-prewarm").start()
+    global _PREWARM_THREAD
+    _PREWARM_THREAD = threading.Thread(
+        target=work, daemon=True, name="ngsid-prewarm")
+    _PREWARM_THREAD.start()
 
 
 def _popcount(x: np.ndarray) -> np.ndarray:

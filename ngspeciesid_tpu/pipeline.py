@@ -230,6 +230,14 @@ def run(cfg: Config, stage_walls: Optional[dict] = None) -> None:
             import jax
 
             jax.profiler.stop_trace()
+        # The prewarm daemon thread lives inside PJRT calls; letting the
+        # interpreter exit while it is in flight aborts the process in the
+        # TPU plugin's teardown (exit 134).  Bounded join here; cli.main
+        # hard-exits if the tunnel keeps it alive past the grace period.
+        from .ops.align_stats_pallas import prewarm_join
+
+        if not prewarm_join(2.0):
+            logger.debug("prewarm thread still loading programs at pipeline end")
 
 
 def write_fastq_subcommand(clusters_path: str, fastq: str, outfolder: str, n_min: int) -> None:

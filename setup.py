@@ -10,7 +10,7 @@ setup(
     install_requires=["numpy", "jax"],
     entry_points={
         "console_scripts": [
-            "NGSpeciesID-tpu=ngspeciesid_tpu.cli:main",
+            "NGSpeciesID-tpu=ngspeciesid_tpu.cli:main_and_exit",
         ]
     },
 )
