@@ -119,25 +119,31 @@ def build_store(
         bounds = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=bounds[1:])
         flat = np.concatenate(seq_b) if n > 1 else seq_b[0]
-        starts = np.empty(flat.size, dtype=bool)
-        if flat.size:
-            starts[0] = True
-            np.not_equal(flat[1:], flat[:-1], out=starts[1:])
-        nonempty = lens > 0
-        starts[bounds[:-1][nonempty]] = True    # run never spans two reads
-        comp = flat[starts]
-        # per-read kept counts via reduceat over an int8 VIEW of the bool
-        # mask with an int64 accumulator: reduceat on bool input takes
-        # numpy's buffered casting path (~3.6 s at 70M bases, ~10x that at
-        # 1M reads) while the int8 view hits the unbuffered int8->int64
-        # inner loop (0.18 s).  A bool->int cumsum or materialized run
-        # positions would cost seconds / gigabytes at 1M-read scale.
-        counts = np.zeros(n, dtype=np.int64)
-        if comp.size:
-            counts[nonempty] = np.add.reduceat(
-                starts.view(np.int8), bounds[:-1][nonempty], dtype=np.int64)
-        cb = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(counts, out=cb[1:])
+        from .. import native
+        nat = native.hpol_compress(flat, bounds) if native.available() else None
+        if nat is not None:
+            # two-pass OpenMP scan: the numpy mask + reduceat + boolean
+            # gather triple below costs 1-4 s at 100k reads (10x at 1M,
+            # and cold pages double it); the native scan is memory-speed.
+            comp, cb = nat
+        else:
+            starts = np.empty(flat.size, dtype=bool)
+            if flat.size:
+                starts[0] = True
+                np.not_equal(flat[1:], flat[:-1], out=starts[1:])
+            nonempty = lens > 0
+            starts[bounds[:-1][nonempty]] = True  # run never spans two reads
+            comp = flat[starts]
+            # per-read kept counts via reduceat over an int8 VIEW of the
+            # bool mask with an int64 accumulator (the bool input takes
+            # numpy's buffered casting path, several times slower)
+            counts = np.zeros(n, dtype=np.int64)
+            if comp.size:
+                counts[nonempty] = np.add.reduceat(
+                    starts.view(np.int8), bounds[:-1][nonempty],
+                    dtype=np.int64)
+            cb = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=cb[1:])
         hpol = [comp[cb[i]:cb[i + 1]] for i in range(n)]
         hpol_flat: Optional[Tuple[np.ndarray, np.ndarray]] = (comp, cb)
     else:

@@ -165,6 +165,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ]
         lib.find_newlines_native.restype = ctypes.c_int64
+        lib.hpol_compress_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.hpol_compress_native.restype = None
         _lib = lib
         return _lib
 
@@ -220,6 +226,35 @@ def find_newlines(data: np.ndarray) -> Optional[np.ndarray]:
         if got <= cap:
             return out[:got]
         cap = int(got)
+
+
+def hpol_compress(flat: np.ndarray,
+                  bounds: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Homopolymer-compress a concatenated read buffer (reference
+    cluster.py:265 groupby-first semantics).
+
+    Returns (comp, cb): the compacted run-first bytes and n+1 per-read
+    offsets into them; None when the native engine is unavailable.  The
+    values are identical to the boolean-mask numpy path in
+    cluster/store.build_store — this exists because the mask + reduceat +
+    gather triple costs seconds at 100k-1M read scale while the two-pass
+    OpenMP scan is memory-speed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(bounds.size) - 1
+    total = int(bounds[-1])
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    comp = np.empty(max(total, 1), dtype=np.uint8)
+    cb = np.empty(n + 1, dtype=np.int64)
+    lib.hpol_compress_native(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        comp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return comp[: int(cb[-1])], cb
 
 
 def align_batch_native(

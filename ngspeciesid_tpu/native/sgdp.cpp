@@ -646,6 +646,47 @@ int64_t find_newlines_native(const uint8_t* data, int64_t n,
 }
 
 
+// Homopolymer compression of a concatenated read buffer (reference
+// cluster.py:265 / get_sorted:58 — itertools.groupby first-of-run).
+//   flat: concatenated read bytes; bounds: n+1 read offsets into flat.
+//   comp_out: capacity >= bounds[n] bytes; cb_out: n+1 compacted offsets.
+// Two passes, OpenMP over reads: count runs per read, serial prefix sum,
+// then fill each read's run-first bytes at its compacted offset.  Runs
+// never span reads (each read restarts its own first run).
+void hpol_compress_native(const uint8_t* flat, const int64_t* bounds,
+                          int64_t n, uint8_t* comp_out, int64_t* cb_out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t s = bounds[i], e = bounds[i + 1];
+        int64_t c = 0;
+        if (e > s) {
+            uint8_t prev = flat[s];
+            c = 1;
+            for (int64_t t = s + 1; t < e; ++t)
+                if (flat[t] != prev) { ++c; prev = flat[t]; }
+        }
+        cb_out[i + 1] = c;
+    }
+    cb_out[0] = 0;
+    for (int64_t i = 0; i < n; ++i) cb_out[i + 1] += cb_out[i];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t s = bounds[i], e = bounds[i + 1];
+        int64_t o = cb_out[i];
+        if (e > s) {
+            uint8_t prev = flat[s];
+            comp_out[o++] = prev;
+            for (int64_t t = s + 1; t < e; ++t)
+                if (flat[t] != prev) { prev = flat[t]; comp_out[o++] = prev; }
+        }
+    }
+}
+
+
 // Batched DP + traceback.
 //   s1b: B x n_stride bytes, s2b: B x m_stride bytes (padded)
 //   moves_out: B x (n_stride + m_stride) bytes; moves_len: B

@@ -707,7 +707,11 @@ def _pallas_stats(meta, s1b, s2r, base,
         out_shape=[jax.ShapeDtypeStruct((B, BEST_W), jnp.int32)],
         interpret=interpret,
     )(base, meta, s1b, s2r)
-    return best
+    # Only the first 16 columns (row/col tracker payloads) are consumed by
+    # _gather_chunk; slicing on device cuts the per-launch d2h fetch 8x
+    # (1 MB -> 128 KB at 2048 pairs — ~45 ms per launch through the ~19 MB/s
+    # tunnel, which dominated the warm production wall).
+    return best[:, :16]
 
 
 def _le_i32(b):
@@ -958,10 +962,12 @@ def sg_stats_batch_pallas(
 
 #: Pairs per device launch.  Power-of-two ladder {8..MAX_B} bounds compiled
 #: batch shapes; large requests pipeline multiple async launches.  Each
-#: launch pays ~20-25 ms of tunnel/link overhead on top of its device
-#: time, so the production wave (~4k speculative pairs) runs as 2 big
-#: launches rather than 8 small ones.
-MAX_B = 2048
+#: launch pays ~27 ms of tunnel round-trip (pair-table upload) plus the
+#: result fetch on top of its device time, so the production wave (~4k
+#: speculative pairs) runs as ONE launch.  VMEM is unaffected by the batch
+#: (the grid streams (SUBLANES, W) tiles); only the pair-table/staging
+#: footprint grows, and at 4096 pairs the blob is still ~130 KB.
+MAX_B = 4096
 
 
 def _plan_chunks(seqs, rows1, rows2) -> List[List[int]]:

@@ -274,3 +274,25 @@ class TestGuardPage:
         want = native.block_stats_native(pairs, opens, ks, mids)
         assert got == want
         del keep
+
+
+def test_hpol_compress_native_matches_numpy(rng):
+    from ngspeciesid_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    rows = []
+    for _ in range(200):
+        ln = int(rng.integers(0, 90))
+        rows.append(rng.integers(65, 69, size=ln).astype(np.uint8))
+    lens = np.array([r.size for r in rows], dtype=np.int64)
+    bounds = np.zeros(lens.size + 1, np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    flat = np.concatenate(rows) if rows else np.zeros(0, np.uint8)
+    comp, cb = native.hpol_compress(flat, bounds)
+    # oracle: per-row groupby-first
+    import itertools
+    for i, r in enumerate(rows):
+        want = bytes(k for k, _ in itertools.groupby(r.tobytes()))
+        got = comp[cb[i]:cb[i + 1]].tobytes()
+        assert got == want, f"row {i}"
