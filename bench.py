@@ -38,24 +38,33 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 SPOA_EST_S_PER_CLUSTER = 1.0      # BASELINE.md: ~2 s for 2 draft clusters
 MEDAKA_EST_S_PER_CLUSTER = 90.0   # BASELINE.md: model load + mini_align + RNN
 
-POOL_CANDIDATES = [
-    "/root/bench_data/pool100k.fastq",
-    os.path.expanduser("~/.cache/ngtpu_bench/pool100k.fastq"),
-]
+POOLS = {
+    # name -> (candidates, n_reads, n_species)
+    "100k": (["/root/bench_data/pool100k.fastq",
+              os.path.expanduser("~/.cache/ngtpu_bench/pool100k.fastq")],
+             100000, 200),
+    # opt-in via BENCH_POOL=1m (VERDICT r4 item 7; BASELINE config 5 scale).
+    # Raise BENCH_WATCHDOG_S (>= 3600 recommended) when using it.
+    "1m": (["/root/bench_data/pool1m.fastq",
+            os.path.expanduser("~/.cache/ngtpu_bench/pool1m.fastq")],
+           1000000, 300),
+}
 
 
-def _ensure_pool() -> str:
-    """The 100k benchmark pool: reuse a cached copy or generate (seeded)."""
-    for p in POOL_CANDIDATES:
+def _ensure_pool(kind: str = "100k") -> str:
+    """A benchmark pool: reuse a cached copy or generate (seeded)."""
+    candidates, n_reads, n_species = POOLS[kind]
+    for p in candidates:
         if os.path.isfile(p):
             return p
-    out = POOL_CANDIDATES[-1]
+    out = candidates[-1]
     os.makedirs(os.path.dirname(out), exist_ok=True)
     subprocess.check_call([
         sys.executable,
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "scripts", "simulate_reads.py"),
-        "--out", out, "--n_reads", "100000", "--n_species", "200",
+        "--out", out, "--n_reads", str(n_reads),
+        "--n_species", str(n_species),
         "--length", "700", "--error", "0.07", "--seed", "0"])
     return out
 
@@ -150,53 +159,190 @@ def _hw_kernel_parity():
     return "bit-exact" if bad == 0 else f"FAIL ({bad} mismatches)"
 
 
-def _kernel_gcups_probe():
-    """Steady-state on-chip probe of the banded stats kernel at the
-    production chunk size.  None off-TPU."""
+def _device_link_probe():
+    """Tunnel/link characteristics: RTT, h2d/d2h bandwidth, per-launch
+    overhead of a resident-data dispatch.  None off-TPU.  These numbers
+    make the wall-clock results machine-interpretable (VERDICT r4 weak #2:
+    the tunnel tax needs numbers, not prose)."""
     import numpy as np
-    from ngspeciesid_tpu.ops.align import _device_is_tpu, stats_backend_default
-    if stats_backend_default() != "pallas" or not _device_is_tpu():
+    import jax
+    import jax.numpy as jnp
+    from ngspeciesid_tpu.ops.align import _device_is_tpu
+    if not _device_is_tpu():
         return None
-    from ngspeciesid_tpu.ops.align_stats_pallas import sg_stats_batch_pallas
+    dev = jax.devices()[0]
+    x = np.zeros(8, np.float32)
+    for _ in range(3):
+        np.asarray(jax.device_put(x, dev))        # warm
+    rtts = sorted(
+        _timed(lambda: np.asarray(jax.device_put(x, dev))) for _ in range(11))
+    big = np.zeros(1 << 25, np.uint8)              # 32 MB
+    jax.device_put(big, dev).block_until_ready()
+    h2d = _timed(lambda: jax.device_put(big, dev).block_until_ready())
+    # d2h must fetch a FRESH buffer: the tunnel memoizes repeat fetches
+    g = jax.jit(lambda a, i: a + i)
+    bd = jax.device_put(big, dev)
+    np.asarray(g(bd, np.uint8(1)))                 # warm the add program
+    fresh = g(bd, np.uint8(2))
+    d2h = _timed(lambda: np.asarray(fresh))
+    # per-launch overhead: K tiny jitted ops on resident data, chained so
+    # the device executes them serially, fetched once (device_get — under
+    # the axon tunnel block_until_ready returns before execution finishes)
+    f = jax.jit(lambda a: a + 1)
+    xd = jax.device_put(jnp.zeros((8, 128), jnp.int32), dev)
+    np.asarray(f(xd))
+    K = 20
 
-    from ngspeciesid_tpu.ops.align_stats_pallas import MAX_B
-
-    rng = np.random.default_rng(0)
-    pairs = []
-    for _ in range(MAX_B):                 # the production launch size
-        a = rng.integers(65, 69, size=640).astype(np.uint8)
-        keep = rng.random(640) > 0.04
-        pairs.append((a, a[keep]))
-    n = len(pairs)
-    opens, ks, mids = [3] * n, [13] * n, [9] * n
-    sg_stats_batch_pallas(pairs, opens, ks, mids, band=150)   # warm/compile
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        sg_stats_batch_pallas(pairs, opens, ks, mids, band=150)
-    per = (time.time() - t0) / reps
-    full_cells = sum(a.size * b.size for a, b in pairs)
-    band_cells = sum(min(301 * max(a.size, b.size), a.size * b.size)
-                     for a, b in pairs)
+    def chain():
+        y = xd
+        for _ in range(K):
+            y = f(y)
+        np.asarray(y)
+    per_launch = _timed(chain) / K
     return {
-        "kernel_full_equiv_gcups": round(full_cells / per / 1e9, 2),
-        "kernel_banded_gcups": round(band_cells / per / 1e9, 2),
-        "kernel_pairs_per_s": round(len(pairs) / per),
+        "tunnel_rtt_ms": round(rtts[len(rtts) // 2] * 1e3, 2),
+        "tunnel_h2d_mbps": round(32 / h2d, 1),
+        "tunnel_d2h_mbps": round(32 / d2h, 1),
+        "per_launch_overhead_ms": round(per_launch * 1e3, 3),
     }
 
 
-def _run_pipeline(fastq, consensus, medaka):
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+#: Analytic per-lane-cell VPU op estimate for the packed int32 stats kernel
+#: (count of vector primitives per diagonal per lane in _stats_kernel:
+#: ~24 roll/fill ops for the E/F/D predecessor shifts, ~30 push-column ops
+#: across the three layers, ~16 candidate select/max ops, ~15 interior/
+#: boundary mask ops, ~16 endpoint-tracker ops, plus the s1/s2 column
+#: staging amortized) — used ONLY to convert measured lane-cells/s into an
+#: estimated VPU issue rate for the vs_peak line.
+KERNEL_OPS_PER_LANE_CELL = 150
+#: v5e TensorCore VPU peak int32 issue rate assumption: 8x128 lanes at
+#: 940 MHz with 4 vector slots/cycle = 3.85e12 ops/s.  The chip has no
+#: 16-bit VPU path (probed round 4), so int32 lanes are the ceiling.
+VPU_PEAK_OPS_PER_S = 8 * 128 * 940e6 * 4
+
+
+def _kernel_gcups_probe():
+    """Device-time probe of the banded stats kernel at the production
+    launch size.  None off-TPU.
+
+    Wall-clock through the tunnel fluctuates tens of percent run to run
+    (VERDICT r4 weak #5), so the DEVICE rate is measured by dispatching K
+    launches with distinct pre-staged inputs back-to-back and fetching
+    once: dispatch costs ~2 ms/launch, so the elapsed time is device
+    execution, not link latency.  (block_until_ready returns early under
+    the axon tunnel; only device_get observes completion.)"""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ngspeciesid_tpu.ops.align import (
+        _bucket_width, _device_is_tpu, stats_backend_default)
+    if stats_backend_default() != "pallas" or not _device_is_tpu():
+        return None
+    from ngspeciesid_tpu.ops import align_stats_pallas as asp
+
+    rng = np.random.default_rng(0)
+    seqs = []
+    NPAIR = 2048
+    for _ in range(NPAIR):
+        a = rng.integers(65, 69, size=640).astype(np.uint8)
+        keep = rng.random(640) > 0.04
+        seqs.append(a)
+        seqs.append(a[keep])
+    rows1 = [2 * i for i in range(NPAIR)]
+    rows2 = [2 * i + 1 for i in range(NPAIR)]
+    len1 = np.array([seqs[r].size for r in rows1])
+    len2 = np.array([seqs[r].size for r in rows2])
+    band = 150
+    n = _bucket_width(int(len1.max()))
+    m = _bucket_width(int(len2.max()))
+    base, W = asp._window_schedule(len1, len2, n, m, band)
+    d_hi = -(-(int(len1.max() + len2.max()) + 1) // 256) * 256
+    n_diag = min(n + m, d_hi)
+    pool = asp._device_pool()
+    pool.ensure(seqs)
+    Bp = max(128, 1 << (NPAIR - 1).bit_length())
+    L1 = -(-(n + 1) // 128) * 128
+    s2rw = -(-(n + m + 1) // 128) * 128
+
+    def staged(shift):
+        pm = np.ones((Bp, 8), np.int32)
+        pm[:, 5:] = 0
+        r1 = [rows1[(i + shift) % NPAIR] for i in range(NPAIR)]
+        r2 = [rows2[(i + shift) % NPAIR] for i in range(NPAIR)]
+        pm[:NPAIR, 0] = [seqs[r].size for r in r1]
+        pm[:NPAIR, 1] = [seqs[r].size for r in r2]
+        pm[:, 2] = 3
+        pm[:, 3] = 13
+        pm[:, 4] = 9
+        pm[:NPAIR, 5] = [pool.offset(seqs[r]) for r in r1]
+        pm[:NPAIR, 6] = [pool.offset(seqs[r]) for r in r2]
+        blob = np.concatenate([pm.view(np.uint8).reshape(-1),
+                               base.view(np.uint8).reshape(-1)])
+        return asp._stage_inputs(
+            pool.dev, jnp.asarray(blob), PB=pool.cap, Bp=Bp, L1=L1,
+            s2rw=s2rw, dpad=base.shape[1], n=n, m=m)
+
+    def launch(st):
+        return asp._pallas_stats(
+            *st, n=n, m=m, W=W, band=band, match=2, mismatch=-2, gap_ext=1,
+            d_hi=d_hi, i16=False, packed=True)
+
+    K = 6
+    sts = [staged(i) for i in range(K + 1)]
+    jax.device_get(launch(sts[0]))                   # warm (compile + load)
+    t0 = time.perf_counter()
+    outs = [launch(sts[i + 1]) for i in range(K)]
+    jax.device_get(outs)
+    per = (time.perf_counter() - t0) / K
+    full_cells = int((len1.astype(np.int64) * len2).sum())
+    band_cells = int(sum(min((2 * band + 1) * max(a, b), a * b)
+                         for a, b in zip(len1, len2)))
+    lane_cells = 8 * W * n_diag * (Bp // 8)
+    est_ops = lane_cells * KERNEL_OPS_PER_LANE_CELL / per
+    return {
+        "device_s_per_launch": round(per, 4),
+        "device_pairs_per_s": round(NPAIR / per),
+        "device_banded_gcups": round(band_cells / per / 1e9, 2),
+        "device_full_equiv_gcups": round(full_cells / per / 1e9, 2),
+        "kernel_lane_utilization_pct": round(100 * band_cells / lane_cells, 1),
+        "vs_vpu_peak_pct": round(100 * est_ops / VPU_PEAK_OPS_PER_S, 1),
+        "vs_peak_note": (
+            f"est {KERNEL_OPS_PER_LANE_CELL} VPU ops/lane-cell (analytic op "
+            "count) against a 3.85e12 ops/s v5e VPU peak (8x128 lanes, "
+            "940 MHz, 4 slots; no 16-bit path on this generation)"),
+    }
+
+
+def _run_pipeline(fastq, consensus, medaka, abundance_ratio=0.1,
+                  stats_backend=None):
     from ngspeciesid_tpu.config import Config
     from ngspeciesid_tpu.pipeline import run
 
     out = tempfile.mkdtemp(prefix="ngtpu_bench_")
     cfg = Config(fastq=fastq, outfolder=out, nr_cores=1,
-                 consensus=consensus, medaka=medaka)
+                 consensus=consensus, medaka=medaka,
+                 abundance_ratio=abundance_ratio)
     cfg.apply_preset(ont=True)
     stage_walls = {}
-    t0 = time.time()
-    run(cfg, stage_walls=stage_walls)
-    elapsed = time.time() - t0
+    prev = os.environ.get("NGSID_STATS_BACKEND")
+    if stats_backend is not None:
+        os.environ["NGSID_STATS_BACKEND"] = stats_backend
+    try:
+        t0 = time.time()
+        run(cfg, stage_walls=stage_walls)
+        elapsed = time.time() - t0
+    finally:
+        if stats_backend is not None:
+            if prev is None:
+                os.environ.pop("NGSID_STATS_BACKEND", None)
+            else:
+                os.environ["NGSID_STATS_BACKEND"] = prev
     import glob
     n_polished = len(glob.glob(os.path.join(out, "medaka_cl_id_*")))
     shutil.rmtree(out, ignore_errors=True)
@@ -230,13 +376,19 @@ def main():
 
     from ngspeciesid_tpu.ops.align import stats_backend_default
 
-    fastq = os.environ.get("BENCH_FASTQ") or _ensure_pool()
+    pool_kind = os.environ.get("BENCH_POOL", "100k").lower()
+    fastq = os.environ.get("BENCH_FASTQ") or _ensure_pool(pool_kind)
     if not os.path.isfile(fastq):
         print(json.dumps({**partial, "error": f"missing workload {fastq}"}))
         return 1
+    # the reference denominator costs ~3 min at 100k and ~an hour at 1M;
+    # measured by default for 100k, opt-in (BENCH_REF=1) for 1m
+    measure_ref = os.environ.get(
+        "BENCH_REF", "1" if pool_kind == "100k" else "0") == "1"
     from ngspeciesid_tpu.io.fastx import read_fastx
     n_reads = sum(1 for _ in read_fastx(fastq))
     partial["n_reads"] = n_reads
+    partial["metric"] = f"reads_per_s_sort_cluster_{pool_kind}"
 
     # Untimed warmup: builds the native engine, loads every compiled kernel
     # program onto the chip, and populates the persistent jax compilation
@@ -262,33 +414,80 @@ def main():
     partial.update(value=round(reads_per_s, 3), wall_s=round(elapsed, 2))
     partial.pop("error", None)
 
-    # measured reference denominator on the SAME workload (no estimates)
-    ref_dir = tempfile.mkdtemp(prefix="ngtpu_bench_ref_")
+    # the repo's own native C++ engine on the same workload, same process
+    # (VERDICT r4 item 6: the chip-vs-native comparison must live in the
+    # JSON, not in STATUS prose)
+    native_wall = None
+    native_walls = {}
     try:
-        ref_sort_s, ref_cluster_s = _measure_reference(fastq, ref_dir)
-    finally:
-        shutil.rmtree(ref_dir, ignore_errors=True)
-    ref_total_s = ref_sort_s + ref_cluster_s
-    baseline_reads_per_s = n_reads / ref_total_s
+        native_wall, native_walls, _ = _run_pipeline(
+            fastq, consensus=False, medaka=False, stats_backend="native")
+    except Exception as e:
+        native_walls = {"error": str(e)[:120]}
+
+    # measured reference denominator on the SAME workload (no estimates)
+    ref_sort_s = ref_cluster_s = None
+    if measure_ref:
+        ref_dir = tempfile.mkdtemp(prefix="ngtpu_bench_ref_")
+        try:
+            ref_sort_s, ref_cluster_s = _measure_reference(fastq, ref_dir)
+        finally:
+            shutil.rmtree(ref_dir, ignore_errors=True)
 
     result = {
-        "metric": "reads_per_s_sort_cluster_100k",
+        "metric": f"reads_per_s_sort_cluster_{pool_kind}",
         "value": round(reads_per_s, 3),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / baseline_reads_per_s, 3),
         "n_reads": n_reads,
         "wall_s": round(elapsed, 2),
         "wall_s_all_passes": [round(w, 2) for w in walls],
         "stats_backend": stats_backend_default(),
+        "decide_backend": os.environ.get("NGSID_DECIDE", "native"),
         "stage_walls_s": {k: round(v, 2) for k, v in stage_walls.items()},
-        "baseline_measured_s": {"sort": round(ref_sort_s, 2),
-                                "cluster": round(ref_cluster_s, 2)},
-        "baseline_note": ("denominator fully measured in-process; reference's "
-                          "parasail import served by this repo's DP engine "
-                          "(faster than real parasail -> ratio is a lower "
-                          "bound)"),
     }
+    if native_wall is not None:
+        result["native_wall_s"] = round(native_wall, 2)
+        result["native_stage_walls_s"] = {
+            k: round(v, 2) for k, v in native_walls.items()}
+    if ref_sort_s is not None:
+        baseline_reads_per_s = n_reads / (ref_sort_s + ref_cluster_s)
+        result["vs_baseline"] = round(reads_per_s / baseline_reads_per_s, 3)
+        result["baseline_measured_s"] = {"sort": round(ref_sort_s, 2),
+                                         "cluster": round(ref_cluster_s, 2)}
+        result["baseline_note"] = (
+            "denominator fully measured in-process; reference's parasail "
+            "import served by this repo's DP engine (faster than real "
+            "parasail -> ratio is a lower bound)")
+    else:
+        # no reference run at this scale (opt-in, BENCH_REF=1): anchor
+        # vs_baseline on the per-read reference throughput measured at 100k
+        # (BENCH_r04: 168.3 s idle -> 594 reads/s), a favorable-to-the-
+        # reference anchor since its python dict hot loop degrades
+        # super-linearly with pool size
+        result["vs_baseline"] = round(reads_per_s / 594.0, 3)
+        result["baseline_note"] = (
+            "reference denominator not run at this scale (set BENCH_REF=1); "
+            "vs_baseline anchored on the 100k-measured reference rate of "
+            "594 reads/s, which flatters the reference at 1M")
     partial.update({k: result[k] for k in ("vs_baseline",)})
+
+    # clustered+POLISHED at scale (VERDICT r4 item 2): same pool, abundance
+    # cutoff lowered so every species-level cluster clears it, draft POA +
+    # polish rounds on-chip, measured stage walls — no estimates on our side
+    if pool_kind == "100k":
+        try:
+            p_elapsed, p_walls, p_centers = _run_pipeline(
+                fastq, consensus=True, medaka=True, abundance_ratio=0.001)
+            result["polish_at_scale"] = {
+                "workload": "100k pool --consensus --medaka "
+                            "--abundance_ratio 0.001",
+                "n_centers_polished": p_centers,
+                "reads_per_s_polished": round(n_reads / p_elapsed, 1),
+                "wall_s": round(p_elapsed, 2),
+                "stage_walls_s": {k: round(v, 2) for k, v in p_walls.items()},
+            }
+        except Exception as e:
+            result["polish_at_scale"] = {"error": str(e)[:160]}
 
     # secondary: the reference CI smoke config end-to-end (consensus+polish);
     # its baseline keeps the BASELINE.md structural estimate for the absent
@@ -339,6 +538,12 @@ def main():
             result.update(probe)
     except Exception as e:  # never fail the bench on the probe
         result["kernel_probe_error"] = str(e)[:120]
+    try:
+        link = _device_link_probe()
+        if link:
+            result.update(link)
+    except Exception as e:
+        result["link_probe_error"] = str(e)[:120]
     timer.cancel()
     print(json.dumps(result))
     return 0
