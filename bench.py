@@ -319,6 +319,56 @@ def _kernel_gcups_probe():
     }
 
 
+def _decide_device_probe():
+    """Device-vs-native evidence for the decide pass (VERDICT r4 item 5).
+
+    The reference's #1 hot loop (cluster.py:43-127) is served by
+    decide_wave_native (fused C++ sorted join + mapping stats).  SURVEY
+    §7.4 planned a device hash table instead; this probe measures the two
+    cheapest device building blocks of that design at production wave
+    shape — the searchsorted join and the per-read group-by sort — against
+    the native pass doing the ENTIRE decide.  None off-TPU.
+
+    Round-5 measurement: the device row-sort alone costs ~1.5 s per wave
+    and the join ~0.19 s per wave, while the native pass spends ~2.3 s on
+    ALL ~300 sub-rounds of a 100k run combined — the device design loses
+    by >15x before counting postings expansion, per-wave snapshot
+    uploads, or the tunnel round trip, so the host pass stays the
+    default on measured grounds."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ngspeciesid_tpu.ops.align import _device_is_tpu
+    if not _device_is_tpu():
+        return None
+    rng = np.random.default_rng(0)
+    W_READS, CODES = 4096, 128
+    table = jnp.asarray(np.sort(rng.integers(0, 1 << 26, 65536)
+                                ).astype(np.int32))
+    join = jax.jit(
+        lambda t, p: jnp.searchsorted(t, p.reshape(-1)).reshape(p.shape))
+    srt = jax.jit(lambda a: jnp.sort(a, axis=1))
+    probes = [jnp.asarray(rng.integers(0, 1 << 26, (W_READS, CODES)
+                                       ).astype(np.int32)) for _ in range(3)]
+    groups = [jnp.asarray(rng.integers(0, 1 << 30, (W_READS, 16 * CODES)
+                                       ).astype(np.int32)) for _ in range(3)]
+    jax.device_get(join(table, probes[0]).sum())
+    jax.device_get(srt(groups[0]).sum())
+    t0 = time.perf_counter()
+    jax.device_get([join(table, p).sum() for p in probes])
+    t_join = (time.perf_counter() - t0) / 3
+    t0 = time.perf_counter()
+    jax.device_get([srt(g).sum() for g in groups])
+    t_sort = (time.perf_counter() - t0) / 3
+    return {
+        "device_join_s_per_wave": round(t_join, 3),
+        "device_groupby_sort_s_per_wave": round(t_sort, 3),
+        "note": ("device decide-pass building blocks at production wave "
+                 "shape; compare native_decide_s_total (the full pass, all "
+                 "sub-rounds) — host wins, see STATUS round 5"),
+    }
+
+
 def _run_pipeline(fastq, consensus, medaka, abundance_ratio=0.1,
                   stats_backend=None):
     from ngspeciesid_tpu.config import Config
@@ -401,12 +451,16 @@ def main():
     # measurement of the same steady-state work) and record every wall.
     walls = []
     stage_walls = {}
+    phase_walls = {}
+    from ngspeciesid_tpu.cluster import engine as _eng
     t_deadline = time.time() + 0.45 * budget
     for _ in range(3):
+        _eng.reset_perf_counters()
         elapsed, sw, _ = _run_pipeline(fastq, consensus=False, medaka=False)
         walls.append(elapsed)
         if not stage_walls or elapsed <= min(walls):
             stage_walls = sw
+            phase_walls = dict(_eng.PERF_COUNTERS)
         if time.time() > t_deadline:
             break
     elapsed = min(walls)
@@ -444,6 +498,8 @@ def main():
         "stats_backend": stats_backend_default(),
         "decide_backend": os.environ.get("NGSID_DECIDE", "native"),
         "stage_walls_s": {k: round(v, 2) for k, v in stage_walls.items()},
+        "cluster_phase_walls_s": {k: round(v, 2)
+                                  for k, v in phase_walls.items()},
     }
     if native_wall is not None:
         result["native_wall_s"] = round(native_wall, 2)
@@ -544,6 +600,12 @@ def main():
             result.update(link)
     except Exception as e:
         result["link_probe_error"] = str(e)[:120]
+    try:
+        dd = _decide_device_probe()
+        if dd:
+            result["decide_device_probe"] = dd
+    except Exception as e:
+        result["decide_device_probe"] = {"error": str(e)[:120]}
     timer.cancel()
     print(json.dumps(result))
     return 0

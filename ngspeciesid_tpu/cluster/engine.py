@@ -49,6 +49,17 @@ from .store import ReadStore
 
 logger = logging.getLogger(__name__)
 
+#: Cumulative host walls of the engine's phases (seconds) — reset/read by
+#: bench.py to decompose the cluster stage (decide pass vs alignment DP vs
+#: conflict machinery).  Updated unconditionally; the overhead is two
+#: perf_counter() calls per phase invocation (~300 per 100k pass).
+PERF_COUNTERS = {"decide_s": 0.0, "align_s": 0.0, "conflict_s": 0.0}
+
+
+def reset_perf_counters() -> None:
+    for k in PERF_COUNTERS:
+        PERF_COUNTERS[k] = 0.0
+
 
 class MinimizerDB:
     """Minimizer postings: code -> ordered representative ids.
@@ -473,7 +484,10 @@ class _WaveCodeCache:
         flat = (np.concatenate(self.code_rows) if n
                 else np.zeros(0, np.int64))
         owner = np.repeat(np.arange(n, dtype=np.int64), self.lens)
-        order = np.argsort(flat, kind="stable")
+        # quicksort: the conflict join only walks equal-code ranges with an
+        # order-independent minimum-scatter, so stability buys nothing and
+        # numpy's stable integer sort is ~4.5x slower at wave size
+        order = np.argsort(flat)
         self.flat_sorted = flat[order]
         self.owner_sorted = owner[order]
 
@@ -497,7 +511,16 @@ def _conflict_positions(cache: _WaveCodeCache, start: int,
                         count=len(parts))
     codes = np.concatenate(parts) if parts else np.zeros(0, np.int64)
     pos = np.repeat(new_idx, plens)
-    order = np.argsort(codes, kind="stable")   # stable: min pos first
+    # min-position-first per code: pack (code, pos) into one key so the
+    # O(n log n) quicksort replaces numpy's ~4.5x-slower stable sort (the
+    # first waves of a pass make every read a would-be new rep, so these
+    # arrays reach wave size x codes-per-read)
+    pos_bits = max(int(np.int64(n).item()).bit_length() + 1, 1)
+    cmax = int(codes.max(initial=0))
+    if cmax < (1 << (62 - pos_bits)):
+        order = np.argsort((codes << pos_bits) | pos)
+    else:                               # giant codes: keep the stable path
+        order = np.argsort(codes, kind="stable")
     cs, ps = codes[order], pos[order]
     if cs.size == 0:
         return out
@@ -711,16 +734,22 @@ def reads_to_clusters(
 
         while pending:
             if stale:
+                import time as _time
+
                 rows_list = [r for r in pending if r in stale]
                 rows_arr = np.array(rows_list, dtype=np.int64)
                 snap = state.db.snapshot()
+                _t = _time.perf_counter()
                 spec = _decide_waves(store, rows_arr, snap, gap_table, cfg)
+                PERF_COUNTERS["decide_s"] += _time.perf_counter() - _t
                 aln_requests = [
                     (wi, rows_list[wi], spec[wi][2])
                     for wi in range(len(spec))
                     if spec[wi][0] < 0 and spec[wi][2]
                 ]
+                _t = _time.perf_counter()
                 aln_winners = _run_alignments(store, aln_requests, cfg, aln_cache)
+                PERF_COUNTERS["align_s"] += _time.perf_counter() - _t
                 for wi, row in enumerate(rows_list):
                     dec = spec[wi][0]
                     if dec < 0:
@@ -734,6 +763,9 @@ def reads_to_clusters(
             # the stale set is the remaining rows intersecting the
             # committed new representatives — both are pure functions of
             # (codes, decisions, order), computed in one sorted join.
+            import time as _time
+
+            _t = _time.perf_counter()
             pend_arr = np.asarray(pending, dtype=np.int64)
             deg = hpol_lens[pend_arr] < cfg.k
             dec_arr = np.fromiter((final_dec[r] for r in pending),
@@ -741,6 +773,7 @@ def reads_to_clusters(
             is_new = (dec_arr < 0) & ~deg
             conflict = _conflict_positions(
                 wcache, wave_n - len(pending), is_new)
+            PERF_COUNTERS["conflict_s"] += _time.perf_counter() - _t
             hits = np.flatnonzero(
                 (conflict < np.arange(len(pending))) & ~deg)
             break_at = int(hits[0]) if hits.size else len(pending)
