@@ -6,6 +6,7 @@ produce exactly the clustering of the single-host merge tree at nr_cores=P,
 and the result must be identically replicated on every rank.
 """
 
+import os
 import tempfile
 import threading
 
@@ -195,7 +196,8 @@ class TestDeviceCollectives:
         assert via_devices == via_threads
 
 
-def spawn_jaxcomm_workers(n_ranks: int, out_dir, timeout_s: float = 300.0):
+def spawn_jaxcomm_workers(n_ranks: int, out_dir, timeout_s: float = 300.0,
+                          sorted_fastq: str = "", with_stats: bool = False):
     """Spawn ``n_ranks`` REAL OS processes running tests/jaxcomm_worker.py
     under ``jax.distributed.initialize`` + gloo CPU collectives; returns the
     per-rank (clusters, alive) results.  Shared by the pytest below and by
@@ -221,9 +223,11 @@ def spawn_jaxcomm_workers(n_ranks: int, out_dir, timeout_s: float = 300.0):
     for r in range(n_ranks):
         out = os.path.join(str(out_dir), f"jaxcomm_rank{r}.json")
         outs.append(out)
+        argv = [sys.executable, worker, str(r), str(n_ranks), str(port), out]
+        if sorted_fastq:
+            argv.append(sorted_fastq)
         procs.append(subprocess.Popen(
-            [sys.executable, worker, str(r), str(n_ranks), str(port), out],
-            env=env, cwd=os.path.dirname(os.path.dirname(worker)),
+            argv, env=env, cwd=os.path.dirname(os.path.dirname(worker)),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE))
     try:
         for r, p in enumerate(procs):
@@ -239,8 +243,12 @@ def spawn_jaxcomm_workers(n_ranks: int, out_dir, timeout_s: float = 300.0):
     for out in outs:
         with open(out) as f:
             d = json.load(f)
-        results.append(({int(k): v for k, v in d["clusters"].items()},
-                        d["alive"]))
+        item = ({int(k): v for k, v in d["clusters"].items()}, d["alive"])
+        if with_stats:
+            item = item + ({k: d[k] for k in (
+                "wall_s", "sent_bytes", "recv_bytes", "max_payload_bytes",
+                "n_collectives")},)
+        results.append(item)
     return results
 
 
@@ -258,3 +266,45 @@ class TestJaxCommMultiProcess:
         for clusters, alive in got:
             assert clusters == want_clusters
             assert alive == want_alive
+
+    @pytest.mark.slow
+    def test_two_process_jaxcomm_100k_pool(self, tmp_path):
+        """The multi-process transport at BASELINE-config-5 scale (VERDICT
+        r4 item 3): 2 OS processes cluster the real 100k bench pool over
+        gloo collectives; every rank's result must equal the single-host
+        merge tree, and the collective codec must carry megabyte-class
+        payloads.  Timed; walls and payload sizes land in the test log."""
+        pool = "/root/bench_data/pool100k.fastq"
+        if not os.path.isfile(pool):
+            pool = os.path.expanduser("~/.cache/ngtpu_bench/pool100k.fastq")
+        if not os.path.isfile(pool):
+            pytest.skip("100k bench pool not present")
+        from ngspeciesid_tpu.config import Config
+        from ngspeciesid_tpu.preprocess import score_and_sort
+        from .jaxcomm_worker import run_driver
+
+        (tmp_path / "sorted").mkdir()
+        cfg = Config(fastq=pool, outfolder=str(tmp_path / "sorted"),
+                     nr_cores=2)
+        sorted_path = score_and_sort(cfg)
+
+        import time
+
+        t0 = time.time()
+        got = spawn_jaxcomm_workers(2, tmp_path, timeout_s=900.0,
+                                    sorted_fastq=sorted_path,
+                                    with_stats=True)
+        spawn_wall = time.time() - t0
+        want_clusters, want_alive = run_driver(
+            None, nr_cores=2, sorted_fastq=sorted_path)
+        total_reads = 0
+        for clusters, alive, stats in got:
+            assert clusters == want_clusters
+            assert alive == want_alive
+            total_reads = sum(len(v) for v in clusters.values())
+            assert stats["sent_bytes"] + stats["recv_bytes"] > 1_000_000, (
+                "expected megabyte-class collective traffic at 100k scale")
+            print(f"rank stats: {stats}")
+        assert total_reads >= 99_000
+        print(f"2-process 100k distributed clustering wall: {spawn_wall:.1f}s "
+              f"(incl. worker startup)")
