@@ -532,6 +532,11 @@ def main():
     # polish rounds on-chip, measured stage walls — no estimates on our side
     if pool_kind == "100k":
         try:
+            # two passes: the first pays one-time kernel-shape traces and
+            # compiled-program loads for the consensus-stage launch shapes;
+            # the second is the steady-state measurement
+            _run_pipeline(fastq, consensus=True, medaka=True,
+                          abundance_ratio=0.001)
             p_elapsed, p_walls, p_centers = _run_pipeline(
                 fastq, consensus=True, medaka=True, abundance_ratio=0.001)
             result["polish_at_scale"] = {

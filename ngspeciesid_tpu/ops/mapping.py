@@ -183,12 +183,77 @@ def map_read(
                     t_codes[t_sort], t_pos[t_sort])
 
 
+def _chain_batch(mins, t_sorted, t_sort_pos, n_reads: int, k: int):
+    """Per-read best chains against one center, vectorized across reads.
+
+    One concatenated searchsorted join + one global lexsort; the clean
+    strictly-colinear fast path (the common case, see _chain) is decided
+    per segment with vectorized diffs, and only non-clean segments fall
+    back to the per-read python DP.  Returns per read either None or
+    (n_anchor, q_start_anchor, q_end_anchor, t_start_anchor, t_end_anchor).
+    Values are identical to mapping each read through _chain.
+    """
+    out: List[Optional[Tuple[int, int, int, int, int]]] = [None] * n_reads
+    if t_sorted.size == 0:
+        return out
+    lens = np.fromiter((m[0].size for m in mins), np.int64, count=n_reads)
+    codes_cat = (np.concatenate([m[0] for m in mins]) if lens.sum()
+                 else np.zeros(0, np.int64))
+    pos_cat = (np.concatenate([m[1] for m in mins]) if lens.sum()
+               else np.zeros(0, np.int64))
+    rid_cat = np.repeat(np.arange(n_reads, dtype=np.int64), lens)
+    if codes_cat.size == 0:
+        return out
+    lo = np.searchsorted(t_sorted, codes_cat, side="left")
+    hi = np.searchsorted(t_sorted, codes_cat, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    rep = np.repeat(np.arange(codes_cat.size), counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    qa = pos_cat[rep]
+    ta = t_sort_pos[np.repeat(lo, counts) + within]
+    rid = rid_cat[rep]
+    order = np.lexsort((qa, ta, rid))     # per read, (ta, qa) ascending
+    rs, qs, ts = rid[order], qa[order], ta[order]
+    first = np.empty(rs.size, bool)
+    first[0] = True
+    np.not_equal(rs[1:], rs[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    ends = np.append(starts[1:], rs.size)
+    seg_rid = rs[starts]
+    seg_n = ends - starts
+    dq = np.diff(qs)
+    dt = np.diff(ts)
+    intra = ~first[1:]
+    bad = intra & ((dq <= 0) | (dt <= 0) | (np.abs(dq - dt) > MAX_GAP))
+    seg_bad = np.bincount(rs[1:][bad], minlength=n_reads)[seg_rid] > 0
+    # a chain can never exceed its segment's anchor count, so segments under
+    # MIN_CHAIN are None on every path (fast path and DP alike) — and they
+    # are the bulk (unrelated reads sharing an accidental minimizer)
+    for si in np.flatnonzero(seg_n >= MIN_CHAIN).tolist():
+        r = int(seg_rid[si])
+        s, e = int(starts[si]), int(ends[si])
+        if not seg_bad[si]:
+            out[r] = (int(seg_n[si]), int(qs[s]), int(qs[e - 1]),
+                      int(ts[s]), int(ts[e - 1]))
+        else:
+            chain = _chain(qs[s:e], ts[s:e], k)
+            if chain is not None:
+                cq, ct = chain
+                out[r] = (int(cq.size), int(cq[0]), int(cq[-1]),
+                          int(ct[0]), int(ct[-1]))
+    return out
+
+
 def map_reads_to_center(
     center: np.ndarray, reads: Sequence[np.ndarray],
     k: int = MAP_K, w: int = MAP_W,
 ) -> List[Optional[Mapping]]:
     """Map every read: one center minimizer index, two batched minimizer
-    passes (fw/rc), vectorized anchor joins, fast-path chaining."""
+    passes (fw/rc), one vectorized anchor join + chain pass per strand."""
     if not reads:
         return []
     present = np.zeros(256, dtype=bool)
@@ -199,13 +264,31 @@ def map_reads_to_center(
     t_codes, t_pos = _minimizers(center, k, w, rank_of, rank_bits)
     t_sort = np.argsort(t_codes, kind="stable")
     t_sorted, t_sort_pos = t_codes[t_sort], t_pos[t_sort]
+    n = len(reads)
     fwd = batch_minimizers(list(reads), k, w, rank_of, rank_bits)
     rev = batch_minimizers([reverse_complement_bytes(r) for r in reads],
                            k, w, rank_of, rank_bits)
-    return [
-        _map_one(r.size, center.size, k, fwd[i], rev[i], t_sorted, t_sort_pos)
-        for i, r in enumerate(reads)
-    ]
+    res: List[Optional[Mapping]] = [None] * n
+    best_n = [0] * n
+    for strand, mins in (("+", fwd), ("-", rev)):
+        chains = _chain_batch(mins, t_sorted, t_sort_pos, n, k)
+        for i, ch in enumerate(chains):
+            if ch is None or ch[0] <= best_n[i]:
+                continue     # '+' wins ties, like _map_one's strict >
+            n_anchor, q0, q1, t0, t1 = ch
+            best_n[i] = n_anchor
+            q_start, q_end = q0, q1 + k
+            t_start, t_end = t0, t1 + k
+            read_len = reads[i].size
+            if strand == "-":
+                q_start, q_end = read_len - q_end, read_len - q_start
+            block = max(q_end - q_start, t_end - t_start)
+            n_match = min(n_anchor * k, block)
+            frac = n_match / block if block else 0.0
+            mapq = int(min(60, 60 * frac * (n_anchor / (n_anchor + 10))))
+            res[i] = Mapping(read_len, q_start, q_end, strand, center.size,
+                             t_start, t_end, n_match, block, mapq)
+    return res
 
 
 def write_paf(path: str, names: Sequence[str], mappings: Sequence[Optional[Mapping]],

@@ -270,16 +270,61 @@ def _pileup_stats_native(
         windows=windows,
     )
     st.votes, st.qvotes, st.coverage = votes, qvotes, coverage
-    off = 0
     ins_votes, ins_open = st.ins_votes, st.ins_open
     eb = ev_bytes.tobytes()
-    for e in range(ev_pos.size):
-        ln = int(ev_len[e])
+    n_ev = int(ev_pos.size)
+    if n_ev == 0:
+        return st
+    # Vectorized event fold (the per-event python loop cost ~5 s at 200
+    # polished centers — ~4.5M insertion events).  Group events by
+    # (pos, inserted string) with a packed int64 key, sum weights per
+    # group with a STABLE order so the per-key float accumulation order
+    # matches the sequential walk bit-for-bit (parity-tested), and touch
+    # the python dicts once per distinct (pos, string) instead of once
+    # per event.  Events too long to pack take the original loop.
+    off_arr = np.zeros(n_ev + 1, np.int64)
+    np.cumsum(ev_len, out=off_arr[1:])
+    ins_open += np.bincount(ev_pos, minlength=ins_open.size).astype(np.float64)
+    present = np.unique(ev_bytes)
+    sbits = max(1, int(present.size).bit_length())  # symbols mapped to 1..n
+    lut = np.zeros(256, np.int64)
+    lut[present] = np.arange(1, present.size + 1)
+    pos_bits = int(center.size + 1).bit_length()
+    max_pack = (62 - pos_bits) // sbits
+    ln_max = int(ev_len.max())
+    small = ev_len <= max_pack
+    sym = lut[ev_bytes]
+    key = ev_pos.astype(np.int64)
+    for j in range(min(ln_max, max_pack)):
+        bj = np.where(ev_len > j, sym[np.minimum(off_arr[:-1] + j,
+                                                 sym.size - 1)], 0)
+        key = (key << sbits) | bj
+    idx_small = np.flatnonzero(small)
+    if idx_small.size:
+        ks = key[idx_small]
+        order = idx_small[np.argsort(ks, kind="stable")]
+        ks_sorted = key[order]
+        gfirst = np.empty(order.size, bool)
+        gfirst[0] = True
+        np.not_equal(ks_sorted[1:], ks_sorted[:-1], out=gfirst[1:])
+        starts = np.flatnonzero(gfirst)
+        # group weights via bincount over the ORIGINAL event order:
+        # bincount accumulates its input sequentially, so each group's sum
+        # reproduces the python walk's per-key float accumulation
+        # bit-for-bit (reduceat would not — it sums pairwise)
+        ginv = np.empty(idx_small.size, np.int64)
+        ginv[np.argsort(ks, kind="stable")] = np.cumsum(gfirst) - 1
+        gw = np.bincount(ginv, weights=ev_w[idx_small],
+                         minlength=starts.size)
+        for s, wsum in zip(starts.tolist(), gw.tolist()):
+            e = int(order[s])
+            o = int(off_arr[e])
+            ins_votes[int(ev_pos[e])][eb[o: o + int(ev_len[e])]] = wsum
+    for e in np.flatnonzero(~small).tolist():
+        o = int(off_arr[e])
         d = ins_votes[int(ev_pos[e])]
-        key = eb[off : off + ln]
-        d[key] = d.get(key, 0.0) + float(ev_w[e])
-        ins_open[int(ev_pos[e])] += 1.0
-        off += ln
+        k2 = eb[o: o + int(ev_len[e])]
+        d[k2] = d.get(k2, 0.0) + float(ev_w[e])
     return st
 
 

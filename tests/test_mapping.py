@@ -59,3 +59,44 @@ class TestMapping:
             assert fields[4] in "+-"
             assert fields[5] == "center0"
             assert int(fields[9]) <= int(fields[10])
+
+
+def test_batched_mapping_matches_per_read(rng):
+    """map_reads_to_center's vectorized chain pass must reproduce the
+    per-read map_read path field-for-field (including None verdicts and
+    the '+'-wins-ties strand rule)."""
+    from ngspeciesid_tpu.ops.mapping import map_read, map_reads_to_center
+    from ngspeciesid_tpu.utils.seqs import reverse_complement_bytes
+
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    center = acgt[rng.integers(0, 4, 800)]
+    reads = []
+    for i in range(60):
+        if i % 7 == 6:
+            reads.append(acgt[rng.integers(0, 4, 300)])    # unrelated
+            continue
+        s, ln = int(rng.integers(0, 350)), int(rng.integers(300, 450))
+        sub = center[s:s + ln].copy()
+        keep = rng.random(sub.size) > 0.08
+        sub = sub[keep]
+        ins = rng.random(sub.size) < 0.04
+        out = []
+        for j, b in enumerate(sub):
+            out.append(b)
+            if ins[j]:
+                out.append(acgt[rng.integers(0, 4)])
+        r = np.array(out, np.uint8)
+        if i % 3 == 0:
+            r = reverse_complement_bytes(r)
+        reads.append(r)
+    from ngspeciesid_tpu.ops.minimizers import alphabet_ranks
+
+    rank_of, rank_bits = alphabet_ranks(np.frombuffer(b"ACGT", np.uint8))
+    got = map_reads_to_center(center, reads)
+    for i, r in enumerate(reads):
+        want = map_read(r, center, rank_of, rank_bits)
+        if want is None:
+            assert got[i] is None, f"read {i}"
+        else:
+            assert got[i] is not None, f"read {i}"
+            assert got[i].__dict__ == want.__dict__, f"read {i}"
