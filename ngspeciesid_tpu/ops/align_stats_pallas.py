@@ -279,160 +279,170 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
             fields.append(jnp.where(is_first, init, ref[fi]))
         return tuple(fields)
 
-    neg_full = jnp.full((SL, W), NEG, DT)
-    # diagonal 0 (base[0] == 0): only cell (0, 0), score 0 — the mask is
-    # born in DT tiling (see wsel note on i1 relayouts)
-    lanes_dt = jax.lax.broadcasted_iota(jnp.int32, (SL, W), 1).astype(DT)
-    hd1 = read(Hd1, wsel(lanes_dt == 0, jnp.array(0, DT), NEG, born16=True))
-    hd2 = read(Hd2, neg_full)
-    ee = read(Ee, neg_full)
-    ff = read(Ff, neg_full)
+    # Whole-step skip: diagonals beyond the tile's own last diagonal
+    # (max len1+len2 over its pairs) hold no valid cell for any pair in
+    # the tile, so the entire sweep compiles to a skipped scf.if body.
+    # _plan_chunks grades pairs by total length, so short-pair tiles
+    # stop early instead of sweeping to the chunk-wide d_hi.
+    tile_lim = jnp.max(len1 + len2)
 
-    def read_trk(ref):
-        fields = []
-        for fi in range(NT):
-            if fi == 0:
-                init = neg_full
-            elif fi == 1:
-                init = jnp.full((SL, W), -1, DT)
-            else:
-                init = jnp.zeros((SL, W), DT)
-            fields.append(jnp.where(is_first, init, ref[fi]))
-        return list(fields)
+    @pl.when(d * DIAGS_PER_STEP + 1 <= tile_lim)
+    def _sweep():
+        neg_full = jnp.full((SL, W), NEG, DT)
+        # diagonal 0 (base[0] == 0): only cell (0, 0), score 0 — the mask is
+        # born in DT tiling (see wsel note on i1 relayouts)
+        lanes_dt = jax.lax.broadcasted_iota(jnp.int32, (SL, W), 1).astype(DT)
+        hd1 = read(Hd1, wsel(lanes_dt == 0, jnp.array(0, DT), NEG, born16=True))
+        hd2 = read(Hd2, neg_full)
+        ee = read(Ee, neg_full)
+        ff = read(Ff, neg_full)
 
-    trow = read_trk(Trow)
-    tcol = read_trk(Tcol)
+        def read_trk(ref):
+            fields = []
+            for fi in range(NT):
+                if fi == 0:
+                    init = neg_full
+                elif fi == 1:
+                    init = jnp.full((SL, W), -1, DT)
+                else:
+                    init = jnp.zeros((SL, W), DT)
+                fields.append(jnp.where(is_first, init, ref[fi]))
+            return list(fields)
 
-    L1 = s1_ref.shape[1]
-    L2 = s2r_ref.shape[1]
+        trow = read_trk(Trow)
+        tcol = read_trk(Tcol)
 
-    for ks in range(DIAGS_PER_STEP):
-        dd = d * DIAGS_PER_STEP + ks + 1
-        base = base_ref[0, dd]
-        d1 = base - base_ref[0, dd - 1]
-        d2 = base - base_ref[0, jnp.maximum(dd - 2, 0)]
-        iv = base + lanes
-        jv = dd - iv
-        interior = (iv >= 1) & (iv <= len1) & (jv >= 1) & (jv <= len2)
-        if band > 0:
-            in_band = (((jv - band) * len1) <= (iv * len2)) & \
-                      ((iv * len2) <= ((jv + band + 1) * len1 - 1))
-            interior = interior & in_band
-        is_boundary = ((iv == 0) & (jv >= 0) & (jv <= len2)) | \
-                      ((jv == 0) & (iv <= len1))
-        valid = interior | is_boundary
+        L1 = s1_ref.shape[1]
+        L2 = s2r_ref.shape[1]
 
-        # ---- E layer: gap in s1 (LEFT column), predecessor (i, j-1) @ d-1
-        # (static-roll candidates only matter compiled: interpret mode is
-        # plain XLA where dynamic rolls work on any dtype, and the huge
-        # unrolled concat graph would choke the CPU compiler)
-        cand = None if interpret else (0, -1)
-        hd1_l = _shift_lanes(hd1, -d1, lanes, W, NEG, candidates=cand)
-        ee_l = _shift_lanes(ee, -d1, lanes, W, NEG, candidates=cand)
-        e_open = hd1_l[0] - gopen
-        e_ext = ee_l[0] - ext
-        e_src = _select(e_open >= e_ext, hd1_l, ee_l)
-        e_score = jnp.maximum(e_open, e_ext)
-        if i16:
-            # clamp so unreachable scores cannot drift below int16 range;
-            # NEG16 is far under any real path score, so results match
-            e_score = jnp.maximum(e_score, NEG)
-        enew = push(
-            (e_score,) + e_src[1:], jnp.array(0, DT),
-            kk, mid, mask_hist, **push_kw)
+        for ks in range(DIAGS_PER_STEP):
+            dd = d * DIAGS_PER_STEP + ks + 1
+            base = base_ref[0, dd]
+            d1 = base - base_ref[0, dd - 1]
+            d2 = base - base_ref[0, jnp.maximum(dd - 2, 0)]
+            iv = base + lanes
+            jv = dd - iv
+            interior = (iv >= 1) & (iv <= len1) & (jv >= 1) & (jv <= len2)
+            if band > 0:
+                in_band = (((jv - band) * len1) <= (iv * len2)) & \
+                          ((iv * len2) <= ((jv + band + 1) * len1 - 1))
+                interior = interior & in_band
+            is_boundary = ((iv == 0) & (jv >= 0) & (jv <= len2)) | \
+                          ((jv == 0) & (iv <= len1))
+            valid = interior | is_boundary
 
-        # ---- F layer: gap in s2 (UP column), predecessor (i-1, j) @ d-1
-        cand = None if interpret else (0, 1)
-        hd1_u = _shift_lanes(hd1, 1 - d1, lanes, W, NEG, candidates=cand)
-        ff_u = _shift_lanes(ff, 1 - d1, lanes, W, NEG, candidates=cand)
-        f_open = hd1_u[0] - gopen
-        f_ext = ff_u[0] - ext
-        f_src = _select(f_open >= f_ext, hd1_u, ff_u)
-        f_score = jnp.maximum(f_open, f_ext)
-        if i16:
-            f_score = jnp.maximum(f_score, NEG)
-        fnew = push(
-            (f_score,) + f_src[1:], jnp.array(0, DT),
-            kk, mid, mask_hist, **push_kw)
-
-        # ---- diagonal candidate: (i-1, j-1) @ d-2 + substitution column
-        # s1c[l] = s1[i-1] = s1_ref[base + l - 1]; s2c[l] = s2[j-1] via the
-        # right-aligned reversed staging (s2[j-1] = s2r[n+m-j]).  Sequences
-        # arrive as int32 rows (converted on device from the uint8 transfer
-        # buffers — the tunnel link, not the VPU, is the scarce resource).
-        # roll shifts taken mod the array width: dynamic negative shifts
-        # miscompile on multi-tile widths (see _shift_lanes)
-        s1c = pltpu.roll(s1_ref[:, :],
-                         (1 - base) % s1_ref.shape[1], 1)[:, :W]
-        s2c = pltpu.roll(s2r_ref[:, :],
-                         ((dd - base) - (n + m)) % s2r_ref.shape[1],
-                         1)[:, :W]
-        ismatch = ((s1c == s2c) & (iv >= 1) & (iv <= len1)
-                   & (jv >= 1) & (jv <= len2)).astype(jnp.int32).astype(DT)
-        # arithmetic form (ismatch is a DT 0/1 value): avoids a
-        # scalar/scalar select on the 16-bit path (see wsel)
-        sub = jnp.array(mismatch, DT) + ismatch * jnp.array(match - mismatch,
-                                                            DT)
-        hd2_u = _shift_lanes(hd2, 1 - d2, lanes, W, NEG,
-                             candidates=None if interpret else (-1, 0, 1))
-        d_score = hd2_u[0] + sub
-        if i16:
-            d_score = jnp.maximum(d_score, NEG)
-        dnew = push(
-            (d_score,) + hd2_u[1:], ismatch, kk, mid, mask_hist, **push_kw)
-
-        # ---- H choice (same tie-break as the traceback: diag > up > left)
-        h_no_e = jnp.maximum(dnew[0], fnew[0])
-        hnew = _select(enew[0] > h_no_e, enew,
-                       _select(fnew[0] > dnew[0], fnew, dnew))
-        hnew = (jnp.maximum(h_no_e, enew[0]),) + hnew[1:]
-
-        # boundary cells restart a path: i + j leading terminal-gap columns
-        # (cc0 = i + j = dd identically along the anti-diagonal)
-        ddv = jnp.full((SL, W), dd, DT)
-        cc0 = ddv
-        wc0 = wsel(mid <= 0, jnp.maximum(cc0 - kk + 1, 0),
-                   jnp.array(0, DT), born16=True)
-        zero = jnp.zeros((SL, W), DT)
-        if packed:
-            # packed low half of mccc = colcount; mcount (high) = 0
-            boundary = (zero, zero, cc0, wc0)
-        else:
-            boundary = (zero, zero, zero, wc0, zero, cc0)
-        hnew = tuple(wsel(is_boundary, bf, hf)
-                     for bf, hf in zip(boundary, hnew))
-        hnew = (wsel(valid, hnew[0], NEG),) + hnew[1:]
-
-        # ---- endpoint tracking: per-lane running max (>= keeps the later
-        # diagonal = corner-most endpoint on score ties, matching
-        # ops/align._best_end and the native banded endpoint scans)
-        for trk, mask_row, coord in (
-                (trow, valid & (iv == len1), jv),
-                (tcol, valid & (jv == len2), iv)):
-            better = hnew[0] >= trk[0]
-            payload = (hnew[0], coord.astype(DT)) + hnew[1:] + (ddv,)
+            # ---- E layer: gap in s1 (LEFT column), predecessor (i, j-1) @ d-1
+            # (static-roll candidates only matter compiled: interpret mode is
+            # plain XLA where dynamic rolls work on any dtype, and the huge
+            # unrolled concat graph would choke the CPU compiler)
+            cand = None if interpret else (0, -1)
+            hd1_l = _shift_lanes(hd1, -d1, lanes, W, NEG, candidates=cand)
+            ee_l = _shift_lanes(ee, -d1, lanes, W, NEG, candidates=cand)
+            e_open = hd1_l[0] - gopen
+            e_ext = ee_l[0] - ext
+            e_src = _select(e_open >= e_ext, hd1_l, ee_l)
+            e_score = jnp.maximum(e_open, e_ext)
             if i16:
-                take_m = m16(mask_row) * better.astype(DT)
-                for fi in range(NT):
-                    trk[fi] = trk[fi] + (payload[fi] - trk[fi]) * take_m
+                # clamp so unreachable scores cannot drift below int16 range;
+                # NEG16 is far under any real path score, so results match
+                e_score = jnp.maximum(e_score, NEG)
+            enew = push(
+                (e_score,) + e_src[1:], jnp.array(0, DT),
+                kk, mid, mask_hist, **push_kw)
+
+            # ---- F layer: gap in s2 (UP column), predecessor (i-1, j) @ d-1
+            cand = None if interpret else (0, 1)
+            hd1_u = _shift_lanes(hd1, 1 - d1, lanes, W, NEG, candidates=cand)
+            ff_u = _shift_lanes(ff, 1 - d1, lanes, W, NEG, candidates=cand)
+            f_open = hd1_u[0] - gopen
+            f_ext = ff_u[0] - ext
+            f_src = _select(f_open >= f_ext, hd1_u, ff_u)
+            f_score = jnp.maximum(f_open, f_ext)
+            if i16:
+                f_score = jnp.maximum(f_score, NEG)
+            fnew = push(
+                (f_score,) + f_src[1:], jnp.array(0, DT),
+                kk, mid, mask_hist, **push_kw)
+
+            # ---- diagonal candidate: (i-1, j-1) @ d-2 + substitution column
+            # s1c[l] = s1[i-1] = s1_ref[base + l - 1]; s2c[l] = s2[j-1] via the
+            # right-aligned reversed staging (s2[j-1] = s2r[n+m-j]).  Sequences
+            # arrive as int32 rows (converted on device from the uint8 transfer
+            # buffers — the tunnel link, not the VPU, is the scarce resource).
+            # roll shifts taken mod the array width: dynamic negative shifts
+            # miscompile on multi-tile widths (see _shift_lanes)
+            s1c = pltpu.roll(s1_ref[:, :],
+                             (1 - base) % s1_ref.shape[1], 1)[:, :W]
+            s2c = pltpu.roll(s2r_ref[:, :],
+                             ((dd - base) - (n + m)) % s2r_ref.shape[1],
+                             1)[:, :W]
+            ismatch = ((s1c == s2c) & (iv >= 1) & (iv <= len1)
+                       & (jv >= 1) & (jv <= len2)).astype(jnp.int32).astype(DT)
+            # arithmetic form (ismatch is a DT 0/1 value): avoids a
+            # scalar/scalar select on the 16-bit path (see wsel)
+            sub = jnp.array(mismatch, DT) + ismatch * jnp.array(match - mismatch,
+                                                                DT)
+            hd2_u = _shift_lanes(hd2, 1 - d2, lanes, W, NEG,
+                                 candidates=None if interpret else (-1, 0, 1))
+            d_score = hd2_u[0] + sub
+            if i16:
+                d_score = jnp.maximum(d_score, NEG)
+            dnew = push(
+                (d_score,) + hd2_u[1:], ismatch, kk, mid, mask_hist, **push_kw)
+
+            # ---- H choice (same tie-break as the traceback: diag > up > left)
+            h_no_e = jnp.maximum(dnew[0], fnew[0])
+            hnew = _select(enew[0] > h_no_e, enew,
+                           _select(fnew[0] > dnew[0], fnew, dnew))
+            hnew = (jnp.maximum(h_no_e, enew[0]),) + hnew[1:]
+
+            # boundary cells restart a path: i + j leading terminal-gap columns
+            # (cc0 = i + j = dd identically along the anti-diagonal)
+            ddv = jnp.full((SL, W), dd, DT)
+            cc0 = ddv
+            wc0 = wsel(mid <= 0, jnp.maximum(cc0 - kk + 1, 0),
+                       jnp.array(0, DT), born16=True)
+            zero = jnp.zeros((SL, W), DT)
+            if packed:
+                # packed low half of mccc = colcount; mcount (high) = 0
+                boundary = (zero, zero, cc0, wc0)
             else:
-                take = mask_row & better
-                for fi in range(NT):
-                    trk[fi] = jnp.where(take, payload[fi], trk[fi])
+                boundary = (zero, zero, zero, wc0, zero, cc0)
+            hnew = tuple(wsel(is_boundary, bf, hf)
+                         for bf, hf in zip(boundary, hnew))
+            hnew = (wsel(valid, hnew[0], NEG),) + hnew[1:]
 
-        hd2 = hd1
-        hd1 = hnew
-        ee = enew
-        ff = fnew
+            # ---- endpoint tracking: per-lane running max (>= keeps the later
+            # diagonal = corner-most endpoint on score ties, matching
+            # ops/align._best_end and the native banded endpoint scans)
+            for trk, mask_row, coord in (
+                    (trow, valid & (iv == len1), jv),
+                    (tcol, valid & (jv == len2), iv)):
+                better = hnew[0] >= trk[0]
+                payload = (hnew[0], coord.astype(DT)) + hnew[1:] + (ddv,)
+                if i16:
+                    take_m = m16(mask_row) * better.astype(DT)
+                    for fi in range(NT):
+                        trk[fi] = trk[fi] + (payload[fi] - trk[fi]) * take_m
+                else:
+                    take = mask_row & better
+                    for fi in range(NT):
+                        trk[fi] = jnp.where(take, payload[fi], trk[fi])
 
-    for fi in range(NF):
-        Hd1[fi] = hd1[fi]
-        Hd2[fi] = hd2[fi]
-        Ee[fi] = ee[fi]
-        Ff[fi] = ff[fi]
-    for fi in range(NT):
-        Trow[fi] = trow[fi]
-        Tcol[fi] = tcol[fi]
+            hd2 = hd1
+            hd1 = hnew
+            ee = enew
+            ff = fnew
+
+        for fi in range(NF):
+            Hd1[fi] = hd1[fi]
+            Hd2[fi] = hd2[fi]
+            Ee[fi] = ee[fi]
+            Ff[fi] = ff[fi]
+        for fi in range(NT):
+            Trow[fi] = trow[fi]
+            Tcol[fi] = tcol[fi]
+
 
     # ---- final cross-lane pick, once per tile, on the last grid step.
     # The OUTPUT ref must be written on every grid step (TPU output blocks
@@ -448,7 +458,7 @@ def _stats_kernel(base_ref,                              # SMEM (1, Dpad)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (SL, BEST_W), 1)
         out = jnp.zeros((SL, BEST_W), jnp.int32)
         NEG32 = jnp.int32(NEG16 if i16 else NEG_INF)
-        for off, trk in ((0, trow), (8, tcol)):
+        for off, trk in ((0, Trow), (8, Tcol)):
             t32 = [trk[fi].astype(jnp.int32) for fi in range(NT)]
             if packed:
                 # unpack to the host's 8-column layout (score, coord, hist,
@@ -993,14 +1003,18 @@ MAX_B = 4096
 def _plan_chunks(seqs, rows1, rows2) -> List[List[int]]:
     """Split request indices into device chunks: bounded size and coarse
     length buckets (compile reuse; banded windows also stay near 2*band
-    wide when pair lengths are comparable)."""
+    wide when pair lengths are comparable).  Within a bucket, pairs are
+    graded by total length DESCENDING so (a) each chunk's d_hi sweep cap
+    is tight and (b) the 8 pairs sharing a kernel tile have similar last
+    diagonals — the kernel skips whole grid steps past a tile's own
+    max(len1+len2) (see _stats_kernel's tile_lim)."""
     from .align import _bucket_width
 
     order = sorted(
         range(len(rows1)),
         key=lambda i: (_bucket_width(seqs[rows1[i]].size),
                        _bucket_width(seqs[rows2[i]].size),
-                       seqs[rows1[i]].size - seqs[rows2[i]].size))
+                       -(seqs[rows1[i]].size + seqs[rows2[i]].size)))
     chunks: List[List[int]] = []
     cur: List[int] = []
     cur_key = None
