@@ -325,16 +325,19 @@ def _decide_device_probe():
     The reference's #1 hot loop (cluster.py:43-127) is served by
     decide_wave_native (fused C++ sorted join + mapping stats).  SURVEY
     §7.4 planned a device hash table instead; this probe measures the two
-    cheapest device building blocks of that design at production wave
-    shape — the searchsorted join and the per-read group-by sort — against
-    the native pass doing the ENTIRE decide.  None off-TPU.
+    core device building blocks of that design at production wave shape —
+    the searchsorted join and the per-read group-by sort — against the
+    native pass doing the ENTIRE decide.  None off-TPU.
 
-    Round-5 measurement: the device row-sort alone costs ~1.5 s per wave
-    and the join ~0.19 s per wave, while the native pass spends ~2.3 s on
-    ALL ~300 sub-rounds of a 100k run combined — the device design loses
-    by >15x before counting postings expansion, per-wave snapshot
-    uploads, or the tunnel round trip, so the host pass stays the
-    default on measured grounds."""
+    Round-5 measurement: the device primitives are fast in isolation
+    (join ~0.07 s, group-by sort ~0.01 s at wave shape), but the decide
+    runs once per SUB-ROUND (~300 per 100k pass, each needing its
+    results on host before the commit walk can proceed), so the device
+    design pays ~300 x (join + expansion + a ~25 ms tunnel round trip)
+    >= ~25-30 s against ~1.9 s for the native pass across all
+    sub-rounds combined — an order of magnitude, before the ragged
+    CSR-postings expansion is even implemented.  The host default is
+    measurement-backed."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -363,9 +366,11 @@ def _decide_device_probe():
     return {
         "device_join_s_per_wave": round(t_join, 3),
         "device_groupby_sort_s_per_wave": round(t_sort, 3),
-        "note": ("device decide-pass building blocks at production wave "
-                 "shape; compare native_decide_s_total (the full pass, all "
-                 "sub-rounds) — host wins, see STATUS round 5"),
+        "note": ("per-invocation device costs of the decide pass's core "
+                 "primitives; the decide runs ~300 sub-rounds per 100k "
+                 "pass each needing a host round trip, vs "
+                 "cluster_phase_walls_s.decide_s for the native pass — "
+                 "host wins ~10x, see STATUS round 5"),
     }
 
 
