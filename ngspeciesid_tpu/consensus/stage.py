@@ -210,7 +210,17 @@ def detect_reverse_complements(centers: List[List], rc_identity_threshold: float
             for bi in range(i, block_end):
                 if centers[bi][1] in already_removed:
                     continue       # this outer will be skipped anyway
+                lb = s_bytes[bi].size
                 for j in range(bi + 1, n):
+                    lj = s_bytes[j].size
+                    # identity = matches / columns <= min(len) / max(len)
+                    # (matches <= the shorter length, the alignment spans
+                    # the longer incl. terminal gaps), so pairs below the
+                    # threshold on length ratio alone can never merge —
+                    # skip their DP, decision unchanged
+                    if min(lb, lj) < rc_identity_threshold * max(lb, lj):
+                        idents[(bi, j)] = [0.0, 0.0]
+                        continue
                     pairs.append((s_bytes[bi], s_bytes[j]))
                     keys.append((bi, j, 0))
                     pairs.append((s_bytes[bi], rc_bytes[j]))
