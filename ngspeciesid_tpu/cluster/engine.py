@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import logging
 import math
+import time as _time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -734,8 +735,6 @@ def reads_to_clusters(
 
         while pending:
             if stale:
-                import time as _time
-
                 rows_list = [r for r in pending if r in stale]
                 rows_arr = np.array(rows_list, dtype=np.int64)
                 snap = state.db.snapshot()
@@ -763,8 +762,6 @@ def reads_to_clusters(
             # the stale set is the remaining rows intersecting the
             # committed new representatives — both are pure functions of
             # (codes, decisions, order), computed in one sorted join.
-            import time as _time
-
             _t = _time.perf_counter()
             pend_arr = np.asarray(pending, dtype=np.int64)
             deg = hpol_lens[pend_arr] < cfg.k
