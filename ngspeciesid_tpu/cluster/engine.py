@@ -77,7 +77,11 @@ class MinimizerDB:
     """
 
     def __init__(self) -> None:
-        self.delta: Dict[int, List[int]] = {}
+        # delta pairs in strict insertion order, amortized-growing buffers
+        self._dcodes = np.zeros(256, dtype=np.int64)
+        self._dposts = np.zeros(256, dtype=np.int64)
+        self._dn = 0
+        self._dset: set = set()    # distinct delta codes (membership only)
         self._n_codes = 0
         self._base_codes = np.zeros(0, dtype=np.int64)
         self._base_off = np.zeros(1, dtype=np.int64)
@@ -92,7 +96,6 @@ class MinimizerDB:
         # one insert per representative; per-read duplicate codes collapse
         # (reference set semantics, cluster.py:329-334)
         self._version += 1
-        delta = self.delta
         base_codes = self._base_codes
         uniq = np.unique(codes)
         # one vectorized membership probe for the whole code set (a python
@@ -103,30 +106,37 @@ class MinimizerDB:
             in_base = base_codes[locc] == uniq
         else:
             in_base = np.zeros(uniq.size, dtype=bool)
+        need = self._dn + uniq.size
+        if need > self._dcodes.size:
+            cap = self._dcodes.size
+            while cap < need:
+                cap *= 2
+            self._dcodes = np.concatenate(
+                [self._dcodes[: self._dn], np.zeros(cap - self._dn, np.int64)])
+            self._dposts = np.concatenate(
+                [self._dposts[: self._dn], np.zeros(cap - self._dn, np.int64)])
+        self._dcodes[self._dn: need] = uniq
+        self._dposts[self._dn: need] = rep_id
+        self._dn = need
+        dset = self._dset
         for c, known in zip(uniq.tolist(), in_base.tolist()):
-            lst = delta.get(c)
-            if lst is None:
-                delta[c] = [rep_id]
+            if c not in dset:
+                dset.add(c)
                 if not known:
                     self._n_codes += 1
-            else:
-                lst.append(rep_id)
 
     def _compact(self) -> None:
-        if not self.delta:
+        if not self._dn:
             return
-        d_codes = np.fromiter(self.delta.keys(), dtype=np.int64, count=len(self.delta))
-        d_lens = np.fromiter((len(v) for v in self.delta.values()), dtype=np.int64,
-                             count=len(self.delta))
-        d_posts = np.fromiter(
-            (r for lst in self.delta.values() for r in lst),
-            dtype=np.int64, count=int(d_lens.sum()))
         # merge at posting level: stable sort by code keeps base postings
-        # ahead of delta postings for shared codes
+        # ahead of delta postings for shared codes, and delta pairs are in
+        # strict insertion order, so per-code posting order is preserved
         base_lens = np.diff(self._base_off)
         post_codes = np.concatenate([
-            np.repeat(self._base_codes, base_lens), np.repeat(d_codes, d_lens)])
-        post_vals = np.concatenate([self._base_posts, d_posts])
+            np.repeat(self._base_codes, base_lens),
+            self._dcodes[: self._dn]])
+        post_vals = np.concatenate([self._base_posts,
+                                    self._dposts[: self._dn]])
         order = np.argsort(post_codes, kind="stable")
         post_codes = post_codes[order]
         self._base_posts = post_vals[order]
@@ -140,31 +150,33 @@ class MinimizerDB:
         else:
             self._base_codes = np.zeros(0, np.int64)
             self._base_off = np.zeros(1, np.int64)
-        self.delta = {}
+        self._dn = 0
+        self._dset.clear()
         self._delta_snap = None
         self._n_codes = self._base_codes.size
 
     def snapshot(self):
         """Two CSR posting tables, (base_codes, base_off, base_posts,
         delta_codes, delta_off, delta_posts), for the batched join; folds
-        the delta in when it has outgrown a quarter of the base.  The delta
-        table is materialized here (sorted codes, insertion-ordered
-        postings) so the join is pure searchsorted — no per-code dict
-        lookups on the wave path."""
-        if len(self.delta) > max(256, self._base_codes.size // 16):
+        the delta in when it has outgrown a fraction of the base.  The
+        delta table is materialized here (sorted codes, insertion-ordered
+        postings per code) from the flat pair buffers — no per-code python
+        loops on the wave path."""
+        if len(self._dset) > max(256, self._base_codes.size // 16):
             self._compact()
         if self._delta_snap is None or self._delta_snap[0] != self._version:
-            delta = self.delta
-            if delta:
-                d_codes = np.fromiter(delta.keys(), dtype=np.int64, count=len(delta))
-                order = np.argsort(d_codes)
-                d_codes = d_codes[order]
-                vals = list(delta.values())
-                d_lens = np.array([len(vals[i]) for i in order], dtype=np.int64)
-                d_off = np.concatenate([[0], np.cumsum(d_lens)])
-                d_posts = np.fromiter(
-                    (r for i in order for r in vals[i]),
-                    dtype=np.int64, count=int(d_lens.sum()))
+            n = self._dn
+            if n:
+                dc = self._dcodes[:n]
+                order = np.argsort(dc, kind="stable")
+                cs = dc[order]
+                d_posts = self._dposts[:n][order]
+                first = np.empty(n, dtype=bool)
+                first[0] = True
+                np.not_equal(cs[1:], cs[:-1], out=first[1:])
+                starts = np.flatnonzero(first)
+                d_codes = cs[starts]
+                d_off = np.append(starts, n).astype(np.int64)
             else:
                 d_codes = np.zeros(0, np.int64)
                 d_off = np.zeros(1, np.int64)
@@ -574,39 +586,37 @@ def _run_alignments(
     id_to_row = store.id_to_row
     full_err = store.full_err
     seq_b = store.seq_b
+    n_rows = len(seq_b)
     k = cfg.k
     from ..ops.align import _PALLAS_MIN_BATCH, stats_backend_default
     backend = stats_backend_default()
 
-    def _evaluate(todo_keys, todo_opens, todo_mids):
+    def _evaluate(todo_r1, todo_r2, todo_opens, todo_mids):
         """Batched (ratio, rep_ratio) for fresh pairs on the best backend."""
         use_pallas = (backend == "pallas"
-                      and len(todo_keys) >= _PALLAS_MIN_BATCH)
+                      and len(todo_r1) >= _PALLAS_MIN_BATCH)
         if backend == "native" or (backend == "pallas" and not use_pallas
                                    and _native_available()):
             from .. import native
             addrs, lens = _addr_cols(store)
-            r1 = np.fromiter((kk[0] for kk in todo_keys), np.int64,
-                             count=len(todo_keys))
-            r2 = np.fromiter((kk[1] for kk in todo_keys), np.int64,
-                             count=len(todo_keys))
+            r1 = np.fromiter(todo_r1, np.int64, count=len(todo_r1))
+            r2 = np.fromiter(todo_r2, np.int64, count=len(todo_r2))
             return native.block_stats_ptr_native(
                 addrs[r1], lens[r1], addrs[r2], lens[r2],
                 np.asarray(todo_opens, np.int32),
-                np.full(len(todo_keys), k, np.int32),
+                np.full(len(todo_r1), k, np.int32),
                 np.asarray(todo_mids, np.int32),
                 band=cfg.align_band)
         if use_pallas:
             from ..ops.align_stats_pallas import sg_stats_pool_pallas
             stats3 = sg_stats_pool_pallas(
-                seq_b, [kk[0] for kk in todo_keys],
-                [kk[1] for kk in todo_keys],
-                todo_opens, [k] * len(todo_keys), todo_mids,
+                seq_b, todo_r1, todo_r2,
+                todo_opens, [k] * len(todo_r1), todo_mids,
                 band=cfg.align_band)
             return [(r1, r2) for r1, r2, _ in stats3]
         return block_stats_batch(
-            [(seq_b[kk[0]], seq_b[kk[1]]) for kk in todo_keys],
-            todo_opens, [k] * len(todo_keys), todo_mids,
+            [(seq_b[a], seq_b[b]) for a, b in zip(todo_r1, todo_r2)],
+            todo_opens, [k] * len(todo_r1), todo_mids,
             band=cfg.align_band, backend=backend)
 
     def _passes(st) -> bool:
@@ -628,27 +638,34 @@ def _run_alignments(
     while live:
         todo_opens: List[int] = []
         todo_mids: List[int] = []
-        todo_keys: List[Tuple[int, int]] = []
-        round_keys: List[Tuple[int, Tuple[int, int]]] = []
+        todo_keys: List[int] = []
+        todo_r1: List[int] = []
+        todo_r2: List[int] = []
+        round_keys: List[int] = []
         for wi, row, rep_ids in live:
             rep = rep_ids[rnd]
             rrow = id_to_row[rep]
-            key = (row, rrow)
-            round_keys.append((wi, key))
+            # int key (row-pair flattened): tuple keys cost ~2x in dict
+            # ops, which adds seconds over a 1M-read pass's ~1M pairs
+            key = row * n_rows + rrow
+            round_keys.append(key)
             if key not in cache:
                 cache[key] = None        # claimed: scheduled this batch
                 ers = float(full_err[row]) + float(full_err[rrow])
                 todo_opens.append(_gap_open_tier(ers))
                 todo_mids.append(math.floor((1.0 - ers) * k))
                 todo_keys.append(key)
+                todo_r1.append(row)
+                todo_r2.append(rrow)
         if todo_keys:
             for key, st in zip(todo_keys,
-                               _evaluate(todo_keys, todo_opens, todo_mids)):
+                               _evaluate(todo_r1, todo_r2,
+                                         todo_opens, todo_mids)):
                 cache[key] = st
         survivors: List[Tuple[int, int, List[int]]] = []
-        for (wi, row, rep_ids), (_, key) in zip(live, round_keys):
+        for (wi, row, rep_ids), key in zip(live, round_keys):
             if _passes(cache[key]):
-                winners[wi] = int(store.ids[key[1]])
+                winners[wi] = int(store.ids[key % n_rows])
             elif len(rep_ids) > rnd + 1:
                 survivors.append((wi, row, rep_ids))
         live = survivors

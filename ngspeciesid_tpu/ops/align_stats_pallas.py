@@ -581,7 +581,10 @@ class DevicePool:
             newcap = min(self.cap * 4, self.CAP_MAX)
             self.dev = DevicePool._grow(self.dev, newcap=newcap)
             self.cap = newcap
-        chunk = np.zeros(pad, np.uint8)
+        # np.empty, not zeros: alignment gaps and the ladder tail are never
+        # read (offsets only ever address real row bytes), and the memset
+        # costs ~1-2 s across a 1M-read run's ~GB of appends
+        chunk = np.empty(pad, np.uint8)
         off = self._used
         woff = 0                      # offset within the staged chunk
         for r in missing:
