@@ -139,6 +139,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
@@ -547,6 +548,7 @@ def decide_wave_native(
     nr_shared = np.empty(n_wave, dtype=np.int64)
     cand_off = np.empty(n_wave + 1, dtype=np.int64)
     cand_cap = max(8 * n_wave + 64, 1)
+    bidx, bshift = _base_bucket_index(base_codes)
 
     def p(arr, typ):
         return arr.ctypes.data_as(ctypes.POINTER(typ))
@@ -565,12 +567,43 @@ def decide_wave_native(
             p(gmax, I),
             int(min_shared), float(min_fraction), float(mapped_threshold),
             int(symmetric),
+            (p(bidx, I) if bidx is not None
+             else ctypes.cast(None, ctypes.POINTER(I))), int(bshift),
             p(decisions, I), p(nr_shared, I),
             p(cand_flat, I), cand_cap, p(cand_off, I),
         )
         if need == 0:
             return decisions, nr_shared, cand_off, cand_flat
         cand_cap = int(need)
+
+
+#: top-16-bit radix bucket starts over a (compacted, immutable) base-codes
+#: array, cached per array object: the base only changes on MinimizerDB
+#: compaction, so the 65537-entry searchsorted runs a few dozen times per
+#: clustering pass.  Holding the codes array in the cache value pins its
+#: id() (entries die with the cache, bounded below).
+_BIDX_CACHE: dict = {}
+
+
+def _base_bucket_index(base_codes: np.ndarray):
+    n = int(base_codes.size)
+    if n < 4096:
+        return None, 0
+    key = id(base_codes)
+    hit = _BIDX_CACHE.get(key)
+    if hit is not None and hit[0] is base_codes:
+        return hit[1], hit[2]
+    shift = 0
+    mx = int(base_codes[-1])
+    while (mx >> shift) >= 65536:
+        shift += 1
+    bounds = np.arange(65537, dtype=np.int64) << shift
+    bidx = np.ascontiguousarray(
+        np.searchsorted(base_codes, bounds, side="left"), dtype=np.int64)
+    if len(_BIDX_CACHE) > 64:
+        _BIDX_CACHE.clear()
+    _BIDX_CACHE[key] = (base_codes, bidx, shift)
+    return bidx, shift
 
 
 def pileup_native(

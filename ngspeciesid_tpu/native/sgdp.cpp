@@ -1245,6 +1245,8 @@ int64_t decide_wave_native(
     const int64_t* gmax /* 15 x 15 */,
     int min_shared, double min_fraction, double mapped_threshold,
     int symmetric,
+    const int64_t* bidx /* 65537 bucket starts over base_codes, or null */,
+    int bidx_shift,
     int64_t* decisions, int64_t* nr_shared,
     int64_t* cand_flat, int64_t cand_cap, int64_t* cand_off) {
     struct Cand {
@@ -1344,9 +1346,19 @@ int64_t decide_wave_native(
                 const int64_t mi = t - roff[i];
                 const int64_t p = pos[t];
                 if (n_base) {
-                    const int64_t* lo = std::lower_bound(
-                        base_codes, base_codes + n_base, code);
-                    if (lo != base_codes + n_base && *lo == code) {
+                    // top-16-bit radix bucket (host-built at compaction)
+                    // narrows the search to ~4 entries: the full-range
+                    // lower_bound's upper levels were the cache-missy part
+                    // of this pass at 1M-read base sizes
+                    const int64_t* first = base_codes;
+                    const int64_t* last = base_codes + n_base;
+                    if (bidx) {
+                        int64_t b = (int64_t)((uint64_t)code >> bidx_shift);
+                        first = base_codes + bidx[b];
+                        last = base_codes + bidx[b + 1];
+                    }
+                    const int64_t* lo = std::lower_bound(first, last, code);
+                    if (lo != last && *lo == code) {
                         int64_t ci = lo - base_codes;
                         for (int64_t q = base_off[ci]; q < base_off[ci + 1]; ++q)
                             hit(base_posts[q], mi, p);
