@@ -520,13 +520,22 @@ class DevicePool:
         # ensure() to have returned for THEIR rows
         self._lock = threading.RLock()
 
+    # NO donation on either op: the prewarm thread appends/grows
+    # concurrently with the main thread's launches, and a successful
+    # donation DELETES the old buffer out from under any stale pool.dev
+    # reference captured for an in-flight launch ("Array has been
+    # deleted", observed).  Without donation a stale reference is safe:
+    # appends never move rows, so every offset taken after ensure() stays
+    # valid in the captured buffer.  Cost: one device-side copy of the
+    # pool per append/grow (~0.3 ms at 256 MB) and a transient 2x HBM
+    # footprint — trivial next to the tunnel round trip per launch.
     @staticmethod
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @jax.jit
     def _append(pool, chunk, off):
         return jax.lax.dynamic_update_slice(pool, chunk, (off,))
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("newcap",), donate_argnums=(0,))
+    @functools.partial(jax.jit, static_argnames=("newcap",))
     def _grow(pool, newcap: int):
         out = jnp.zeros((newcap,), jnp.uint8)
         return jax.lax.dynamic_update_slice(out, pool, (0,))
@@ -598,6 +607,13 @@ class DevicePool:
 
     def offset(self, row: np.ndarray) -> int:
         return self._off[id(row)]
+
+    def view(self):
+        """Consistent (device buffer, capacity) snapshot for a launch: the
+        prewarm thread can grow the pool concurrently, and the staging
+        program's PB static arg must describe the buffer actually passed."""
+        with self._lock:
+            return self.dev, self.cap
 
     def reserve(self, nbytes: int) -> None:
         """Pre-size capacity for a known workload: one capacity rung for
@@ -1088,9 +1104,10 @@ def _launch_chunk(seqs, r1, r2, gap_opens, ks, match_ids,
     # transfer costs a tunnel round trip; sequences are already resident)
     blob = np.concatenate([
         pm.view(np.uint8).reshape(-1), base.view(np.uint8).reshape(-1)])
+    dev, cap = pool.view()
     staged = _stage_inputs(
-        pool.dev, jnp.asarray(blob),
-        PB=pool.cap, Bp=Bp, L1=L1, s2rw=s2rw, dpad=base.shape[1], n=n, m=m)
+        dev, jnp.asarray(blob),
+        PB=cap, Bp=Bp, L1=L1, s2rw=s2rw, dpad=base.shape[1], n=n, m=m)
     d_hi = -(-(int(len1.max() + len2.max()) + 1) // 256) * 256
     packed = (not i16 and max(ks) <= PACK_MAX_K and n + m <= PACK_MAX_NM)
     best = _pallas_stats(

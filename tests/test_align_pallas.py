@@ -69,3 +69,32 @@ class TestPallasParity:
         want = sg_align_batch(pairs, [3] * 11, backend="numpy")
         for g, w in zip(got, want):
             assert g.tolist() == w.tolist()
+
+
+def test_device_pool_stale_reference_survives_growth(rng):
+    """Growth/append must NOT donate the old device buffer: the prewarm
+    thread grows the pool concurrently with launches, and a stale
+    pool.dev captured for an in-flight launch must stay readable
+    (regression: "Array has been deleted with shape=uint8[...]")."""
+    import jax.numpy as jnp
+    from ngspeciesid_tpu.ops.align_stats_pallas import DevicePool
+
+    pool = DevicePool()
+    rows = [rng.integers(65, 69, 300).astype(np.uint8) for _ in range(4)]
+    pool.ensure(rows)
+    old_dev, old_cap = pool.view()
+    offs = [pool.offset(r) for r in rows]
+    # concurrent-thread behavior, serialized: grow + append AFTER capture
+    pool.reserve(pool.cap * 4 + 1)
+    big = [rng.integers(65, 69, 70000).astype(np.uint8) for _ in range(3)]
+    pool.ensure(big)
+    assert pool.cap > old_cap
+    # the stale buffer must still be alive and hold the original rows
+    stale = np.asarray(old_dev)
+    for r, o in zip(rows, offs):
+        assert bytes(stale[o:o + r.size]) == r.tobytes()
+    # and the new buffer serves both old and new rows
+    fresh = np.asarray(pool.view()[0])
+    for r in rows + big:
+        o = pool.offset(r)
+        assert bytes(fresh[o:o + r.size]) == r.tobytes()
