@@ -67,13 +67,13 @@ class MinimizerDB:
 
     Two-tier layout for O(1)-amortized growth under the wave engine's
     frequent snapshots: a sorted base (codes array + CSR postings) serving
-    vectorized searchsorted joins, plus a small delta dict holding recent
-    insertions.  The delta folds into the base only when it outgrows a
-    fraction of it, so snapshot cost is amortized-logarithmic instead of a
-    full rebuild per sub-round.  Posting order (insertion order per code) is
-    preserved across compactions — candidate ordering never depends on it
-    (the sort key is (hits, sum_pos, acc), cluster.py:79), but determinism is
-    kept anyway.
+    vectorized searchsorted joins, plus flat append buffers of recent
+    (code, rep) insertions in strict chronological order.  The delta folds
+    into the base only when it outgrows a fraction of it, so snapshot cost
+    is amortized-logarithmic instead of a full rebuild per sub-round.
+    Posting order (insertion order per code) is preserved across
+    compactions — candidate ordering never depends on it (the sort key is
+    (hits, sum_pos, acc), cluster.py:79), but determinism is kept anyway.
     """
 
     def __init__(self) -> None:
@@ -573,7 +573,7 @@ def _run_alignments(
     store: ReadStore,
     requests: List[Tuple[int, int, List[int]]],  # (wave_idx, read_row, [rep_ids])
     cfg: Config,
-    cache: Optional[Dict[Tuple[int, int], Tuple[float, float]]] = None,
+    cache: Optional[Dict[int, Tuple[float, float]]] = None,  # key = row * n_rows + rep_row
 ) -> Dict[int, int]:
     """Batched alignment fallback.  Returns {wave_idx: rep_id} for passes.
 
@@ -706,7 +706,7 @@ def reads_to_clusters(
     # skipped reads are already representatives inside carried_db
     alive: List[int] = [int(store.ids[r]) for r in skipped_rows]
 
-    aln_cache: Dict[Tuple[int, int], Tuple[float, float]] = {}
+    aln_cache: Dict[int, Tuple[float, float]] = {}  # key = row * n_rows + rep_row
     wave_size = cfg.wave_size
     if wave_size <= 0:
         # auto: the Pallas backend amortizes its per-launch host-link round

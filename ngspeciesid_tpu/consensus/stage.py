@@ -177,7 +177,7 @@ def remove_barcodes(centers: List[List], barcodes: Dict[str, str], cfg: Config) 
 #: batch in detect_reverse_complements.  Identity is a pure function of the
 #: (center, center, orientation) triple, so batching ahead of the sequential
 #: absorption walk cannot change any decision; only pairs of outers that get
-#: absorbed within their own block are wasted DP.  16 outers x both
+#: absorbed within their own block are wasted DP.  32 outers x both
 #: orientations keeps launches in the multi-thousand-pair regime where the
 #: TPU kernel amortizes its link round trip (was: one shrinking batch per
 #: outer center — ~200 device sync points, ~30 s at 200 centers; now ~4 s).
@@ -233,7 +233,9 @@ def detect_reverse_complements(centers: List[List], rc_identity_threshold: float
             continue
         for j in range(i + 1, n):
             nr2, c_id2, seq2, rp2 = centers[j]
-            ident_fw, ident_rc = idents[(i, j)]
+            # pop: each (i, j) is consumed exactly once, and keeping the
+            # full O(n^2) identity table alive costs ~100 MB at 1k centers
+            ident_fw, ident_rc = idents.pop((i, j))
             if max(ident_fw, ident_rc) >= rc_identity_threshold:
                 merged_nr += nr2
                 already_removed.add(c_id2)

@@ -1353,7 +1353,12 @@ int64_t decide_wave_native(
                     const int64_t* first = base_codes;
                     const int64_t* last = base_codes + n_base;
                     if (bidx) {
+                        // probe codes are unbounded by the BASE max the
+                        // shift was derived from; clamp to the last bucket
+                        // (its range ends at n_base, so an oversized code
+                        // simply finds no match there)
                         int64_t b = (int64_t)((uint64_t)code >> bidx_shift);
+                        if (b > 65535) b = 65535;
                         first = base_codes + bidx[b];
                         last = base_codes + bidx[b + 1];
                     }

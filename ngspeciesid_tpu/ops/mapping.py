@@ -138,6 +138,25 @@ def _chain(qa: np.ndarray, ta: np.ndarray, k: int) -> Optional[Tuple[np.ndarray,
     return qa[idx], ta[idx]
 
 
+def _chain_to_mapping(read_len: int, t_len: int, k: int, strand: str,
+                      n_anchor: int, q0: int, q1: int,
+                      t0: int, t1: int) -> Mapping:
+    """Mapping record from chain endpoints — the single source of the
+    endpoint +k extension, '-'-strand query-coordinate flip (PAF reports
+    query coords on the original + strand), and block/n_match/mapq
+    formulas, shared by the per-read and batched paths."""
+    q_start, q_end = q0, q1 + k
+    t_start, t_end = t0, t1 + k
+    if strand == "-":
+        q_start, q_end = read_len - q_end, read_len - q_start
+    block = max(q_end - q_start, t_end - t_start)
+    n_match = min(n_anchor * k, block)
+    frac = n_match / block if block else 0.0
+    mapq = int(min(60, 60 * frac * (n_anchor / (n_anchor + 10))))
+    return Mapping(read_len, q_start, q_end, strand, t_len,
+                   t_start, t_end, n_match, block, mapq)
+
+
 def _map_one(
     read_len: int, t_len: int, k: int,
     fwd_min, rev_min,
@@ -156,17 +175,8 @@ def _map_one(
     if best is None:
         return None
     n_anchor, strand, cq, ct = best
-    q_start, q_end = int(cq[0]), int(cq[-1]) + k
-    t_start, t_end = int(ct[0]), int(ct[-1]) + k
-    if strand == "-":
-        # PAF reports query coordinates on the original (+) strand
-        q_start, q_end = read_len - q_end, read_len - q_start
-    block = max(q_end - q_start, t_end - t_start)
-    n_match = min(n_anchor * k, block)
-    frac = n_match / block if block else 0.0
-    mapq = int(min(60, 60 * frac * (n_anchor / (n_anchor + 10))))
-    return Mapping(read_len, q_start, q_end, strand, t_len,
-                   t_start, t_end, n_match, block, mapq)
+    return _chain_to_mapping(read_len, t_len, k, strand, n_anchor,
+                             int(cq[0]), int(cq[-1]), int(ct[0]), int(ct[-1]))
 
 
 def map_read(
@@ -277,17 +287,8 @@ def map_reads_to_center(
                 continue     # '+' wins ties, like _map_one's strict >
             n_anchor, q0, q1, t0, t1 = ch
             best_n[i] = n_anchor
-            q_start, q_end = q0, q1 + k
-            t_start, t_end = t0, t1 + k
-            read_len = reads[i].size
-            if strand == "-":
-                q_start, q_end = read_len - q_end, read_len - q_start
-            block = max(q_end - q_start, t_end - t_start)
-            n_match = min(n_anchor * k, block)
-            frac = n_match / block if block else 0.0
-            mapq = int(min(60, 60 * frac * (n_anchor / (n_anchor + 10))))
-            res[i] = Mapping(read_len, q_start, q_end, strand, center.size,
-                             t_start, t_end, n_match, block, mapq)
+            res[i] = _chain_to_mapping(reads[i].size, center.size, k, strand,
+                                       n_anchor, q0, q1, t0, t1)
     return res
 
 

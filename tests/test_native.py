@@ -296,3 +296,44 @@ def test_hpol_compress_native_matches_numpy(rng):
         want = bytes(k for k, _ in itertools.groupby(r.tobytes()))
         got = comp[cb[i]:cb[i + 1]].tobytes()
         assert got == want, f"row {i}"
+
+
+def test_decide_radix_handles_probe_codes_beyond_base_range(rng):
+    """Probe codes are unbounded by the base max the radix shift is derived
+    from; an oversized code must fall into the clamped last bucket and
+    simply miss (regression: out-of-bounds bidx read -> SIGSEGV)."""
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    n_base = 6000  # above the 4096 threshold so the bucket index is built
+    base_codes = np.sort(rng.choice(1_000_000, n_base, replace=False)
+                         ).astype(np.int64)
+    base_off = np.arange(n_base + 1, dtype=np.int64)
+    base_posts = rng.integers(0, 50, n_base).astype(np.int64)
+    snap = (base_codes, base_off, base_posts,
+            np.zeros(0, np.int64), np.zeros(1, np.int64),
+            np.zeros(0, np.int64))
+    n_rows = 51
+    row_of_id = np.arange(n_rows, dtype=np.int64)
+    eidx = np.zeros(n_rows, np.int8)
+    hpol_len = np.full(n_rows, 500, np.int64)
+    acc_rank = np.arange(n_rows, dtype=np.int64)
+    gmax = np.full((15, 15), 3, np.int64)
+
+    def run(extra_code):
+        codes = np.concatenate([base_codes[:20],
+                                np.array([extra_code], np.int64)])
+        pos = np.arange(codes.size, dtype=np.int64) * 10
+        roff = np.array([0, codes.size], np.int64)
+        return native.decide_wave_native(
+            codes, pos, roff,
+            np.array([50], np.int64), np.array([50], np.int64),
+            snap, row_of_id, eidx, hpol_len, acc_rank, gmax,
+            5, 0.8, 0.7, False)
+
+    # huge code (way past 65536 << shift) vs a small non-matching code:
+    # identical decisions, and no crash
+    d1, ns1, co1, cf1 = run(2_000_000_000)
+    d2, ns2, co2, cf2 = run(1_000_001)  # > base max but inside bucket space
+    assert d1.tolist() == d2.tolist()
+    assert ns1.tolist() == ns2.tolist()
+    assert cf1[co1[0]:co1[1]].tolist() == cf2[co2[0]:co2[1]].tolist()
